@@ -1,0 +1,242 @@
+"""Pooled SoA mesh storage + procedural meshes.
+
+TPU-native analogue of the reference MeshPool
+(/root/reference/crates/pools/src/mesh/mod.rs:57-352): all meshes live in
+flat, device-resident SoA arrays (positions / normals / tangents / uvs /
+indices) with a per-mesh offset table (MeshInfo: AABB, base_index,
+index_count, vertex_offset, bvh_index). Adding a mesh builds its BLAS and
+permutes its index range in place so BVH leaves reference contiguous
+triangles (mesh/mod.rs:320-325).
+
+Builtin meshes (ids 0-3, mesh/mod.rs:267-274):
+  0 = horizontal unit plane, 1 = vertical unit plane,
+  2 = uv sphere(res 1),      3 = uv sphere(res 10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..rt import bvh as bvh_mod
+
+HORIZONTAL_PLANE_MESH = 0
+VERTICAL_PLANE_MESH = 1
+SPHERE_1_MESH = 2
+SPHERE_10_MESH = 3
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Host-side mesh (CPU numpy)."""
+
+    vertices: np.ndarray  # (V, 3) f32
+    normals: np.ndarray  # (V, 3) f32
+    tangents: np.ndarray  # (V, 4) f32
+    uvs: np.ndarray  # (V, 2) f32
+    indices: np.ndarray  # (I,) u32 / i64
+
+    def __post_init__(self):
+        self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float32)
+        self.normals = np.ascontiguousarray(self.normals, dtype=np.float32)
+        self.tangents = np.ascontiguousarray(self.tangents, dtype=np.float32)
+        self.uvs = np.ascontiguousarray(self.uvs, dtype=np.float32)
+        self.indices = np.ascontiguousarray(self.indices, dtype=np.int32)
+        assert self.indices.size % 3 == 0
+
+
+def make_plane_mesh(width: float = 1.0, height: float = 1.0) -> Mesh:
+    """Horizontal quad in XZ, +Y normal (plane.rs:5-38)."""
+    w, h = width / 2.0, height / 2.0
+    vertices = np.array(
+        [[-w, 0, -h], [-w, 0, h], [w, 0, h], [w, 0, -h]], dtype=np.float32
+    )
+    normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+    tangents = np.tile(np.array([[1, 0, 0, -1]], np.float32), (4, 1))
+    indices = np.array([0, 1, 2, 0, 2, 3], dtype=np.int32)
+    return Mesh(vertices, normals, tangents, uvs, indices)
+
+
+def make_vertical_plane_mesh(width: float = 1.0, height: float = 1.0) -> Mesh:
+    """The horizontal plane rotated by Rx(-pi/2): XZ -> XY, normal +Z."""
+    m = make_plane_mesh(width, height)
+    rot = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], dtype=np.float32)
+    m.vertices = m.vertices @ rot.T
+    m.normals = m.normals @ rot.T
+    return m
+
+
+def make_uv_sphere(radius: float = 1.0, resolution: int = 10) -> Mesh:
+    """UV sphere with 4*res stacks and 8*res sectors (sphere.rs:6-67)."""
+    vside = 4 * resolution
+    uside = vside * 2
+    v = np.linspace(0.0, 1.0, vside + 1, dtype=np.float32)
+    u = np.linspace(0.0, 1.0, uside + 1, dtype=np.float32)
+    uu, vv = np.meshgrid(u, v)  # (vside+1, uside+1)
+    theta = 2.0 * np.pi * uu + np.pi
+    phi = np.pi * vv
+    x = np.cos(theta) * np.sin(phi) * radius
+    y = -np.cos(phi) * radius
+    z = np.sin(theta) * np.sin(phi) * radius
+    vertices = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    norms = np.linalg.norm(vertices, axis=-1, keepdims=True)
+    normals = vertices / np.maximum(norms, 1e-20)
+    uvs = np.stack([uu, vv], axis=-1).reshape(-1, 2).astype(np.float32)
+    tangents = np.tile(np.array([[1, 0, 0, -1]], np.float32), (len(vertices), 1))
+
+    tri = []
+    for i in range(vside):
+        k1 = i * (uside + 1)
+        for j in range(uside):
+            a, b = k1 + j, k1 + j + uside + 1
+            if i != 0:
+                tri += [a, b, a + 1]
+            # the reference emits the second triangle for every stack row
+            tri += [a + 1, b, b + 1]
+    indices = np.array(tri, dtype=np.int32)
+    return Mesh(vertices, normals, tangents, uvs, indices)
+
+
+def make_cube_mesh(size: float = 1.0) -> Mesh:
+    """24-vertex, 6-face cube (cube.rs / boxx.rs equivalent)."""
+    s = size / 2.0
+    faces = [
+        # (normal, tangent, corner order)
+        ([0, 0, 1], [1, 0, 0]),
+        ([0, 0, -1], [-1, 0, 0]),
+        ([1, 0, 0], [0, 0, -1]),
+        ([-1, 0, 0], [0, 0, 1]),
+        ([0, 1, 0], [1, 0, 0]),
+        ([0, -1, 0], [1, 0, 0]),
+    ]
+    verts, norms, tans, uvs, idx = [], [], [], [], []
+    for fi, (n, t) in enumerate(faces):
+        n = np.array(n, np.float32)
+        t = np.array(t, np.float32)
+        b = np.cross(n, t)
+        for ci, (du, dv) in enumerate([(-1, -1), (1, -1), (1, 1), (-1, 1)]):
+            verts.append(n * s + t * (du * s) + b * (dv * s))
+            norms.append(n)
+            tans.append(np.concatenate([t, [np.float32(-1.0)]]))
+            uvs.append([(du + 1) / 2, (dv + 1) / 2])
+        base = 4 * fi
+        idx += [base, base + 1, base + 2, base, base + 2, base + 3]
+    return Mesh(
+        np.array(verts, np.float32),
+        np.array(norms, np.float32),
+        np.array(tans, np.float32),
+        np.array(uvs, np.float32),
+        np.array(idx, np.int32),
+    )
+
+
+@struct.dataclass
+class MeshPoolData:
+    """Device-resident mesh pool (one pytree leaf per SoA stream)."""
+
+    positions: jnp.ndarray  # (V, 3) f32
+    normals: jnp.ndarray  # (V, 3) f32
+    tangents: jnp.ndarray  # (V, 4) f32
+    uvs: jnp.ndarray  # (V, 2) f32
+    indices: jnp.ndarray  # (I,) i32
+    # MeshInfo table (shared.wgsl MeshInfo)
+    mesh_min: jnp.ndarray  # (M, 3) f32
+    mesh_max: jnp.ndarray  # (M, 3) f32
+    index_count: jnp.ndarray  # (M,) i32
+    base_index: jnp.ndarray  # (M,) i32
+    vertex_offset: jnp.ndarray  # (M,) i32
+    bvh_index: jnp.ndarray  # (M,) i32
+    # Pooled BLAS nodes (bvh/blas.rs BvhNode layout as SoA)
+    bvh_min: jnp.ndarray  # (B, 3) f32
+    bvh_max: jnp.ndarray  # (B, 3) f32
+    bvh_left_first: jnp.ndarray  # (B,) i32
+    bvh_count: jnp.ndarray  # (B,) i32
+
+
+class MeshPool:
+    """Host-side pooled mesh accumulation; `.device()` uploads to jnp."""
+
+    def __init__(self, with_builtins: bool = True, build_bvh: bool = True):
+        self.build_bvh = build_bvh
+        self.positions: List[np.ndarray] = []
+        self.normals: List[np.ndarray] = []
+        self.tangents: List[np.ndarray] = []
+        self.uvs: List[np.ndarray] = []
+        self.indices: List[np.ndarray] = []
+        self.bvh_nodes: List[np.ndarray] = []  # structured per-mesh node arrays
+        self.mesh_info: List[dict] = []
+        self._vertex_count = 0
+        self._index_count = 0
+        self._bvh_count = 0
+        if with_builtins:
+            self.add(make_plane_mesh(1.0, 1.0))
+            self.add(make_vertical_plane_mesh(1.0, 1.0))
+            self.add(make_uv_sphere(1.0, 1))
+            self.add(make_uv_sphere(1.0, 10))
+
+    def __len__(self):
+        return len(self.mesh_info)
+
+    def add(self, mesh: Mesh) -> int:
+        """Append a mesh; builds its BLAS and permutes indices in place."""
+        indices = mesh.indices.copy()
+        if self.build_bvh:
+            nodes, indices = bvh_mod.build_blas(mesh.vertices, indices)
+        else:
+            nodes = bvh_mod.single_leaf_nodes(mesh.vertices, indices)
+
+        mesh_id = len(self.mesh_info)
+        self.mesh_info.append(
+            dict(
+                min=mesh.vertices.min(axis=0),
+                max=mesh.vertices.max(axis=0),
+                index_count=indices.size,
+                base_index=self._index_count,
+                vertex_offset=self._vertex_count,
+                bvh_index=self._bvh_count,
+            )
+        )
+        self.positions.append(mesh.vertices)
+        self.normals.append(mesh.normals)
+        self.tangents.append(mesh.tangents)
+        self.uvs.append(mesh.uvs)
+        self.indices.append(indices)
+        self.bvh_nodes.append(nodes)
+        self._vertex_count += len(mesh.vertices)
+        self._index_count += indices.size
+        self._bvh_count += len(nodes)
+        return mesh_id
+
+    def host_arrays(self) -> dict:
+        nodes = (
+            np.concatenate(self.bvh_nodes)
+            if self.bvh_nodes
+            else np.zeros((0,), bvh_mod.NODE_DTYPE)
+        )
+        info = self.mesh_info
+        return dict(
+            positions=np.concatenate(self.positions) if info else np.zeros((0, 3), np.float32),
+            normals=np.concatenate(self.normals) if info else np.zeros((0, 3), np.float32),
+            tangents=np.concatenate(self.tangents) if info else np.zeros((0, 4), np.float32),
+            uvs=np.concatenate(self.uvs) if info else np.zeros((0, 2), np.float32),
+            indices=np.concatenate(self.indices) if info else np.zeros((0,), np.int32),
+            mesh_min=np.array([i["min"] for i in info], np.float32).reshape(-1, 3),
+            mesh_max=np.array([i["max"] for i in info], np.float32).reshape(-1, 3),
+            index_count=np.array([i["index_count"] for i in info], np.int32),
+            base_index=np.array([i["base_index"] for i in info], np.int32),
+            vertex_offset=np.array([i["vertex_offset"] for i in info], np.int32),
+            bvh_index=np.array([i["bvh_index"] for i in info], np.int32),
+            bvh_min=np.ascontiguousarray(nodes["min"]),
+            bvh_max=np.ascontiguousarray(nodes["max"]),
+            bvh_left_first=np.ascontiguousarray(nodes["left_first"]),
+            bvh_count=np.ascontiguousarray(nodes["count"]),
+        )
+
+    def device(self) -> MeshPoolData:
+        h = self.host_arrays()
+        return MeshPoolData(**{k: jnp.asarray(v) for k, v in h.items()})

@@ -1,0 +1,99 @@
+"""Scene container: the World-equivalent.
+
+The reference keeps every subsystem in a TypeId->Any `World`
+(components/src/world.rs:81-162) populated at App::new (app.rs:134-158).
+Here the host-side :class:`World` owns the pools and asset import, and
+``World.device()`` freezes them into :class:`SceneData` — a single pytree of
+device arrays that the jitted frame function closes over. Nothing in
+SceneData is host-resident; a frame touches HBM only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..rt import bvh as bvh_mod
+from .instance import InstanceData, InstancePool
+from .light import LightData, LightPool
+from .material import LIGHT_MATERIAL, MaterialData, MaterialPool
+from .mesh import VERTICAL_PLANE_MESH, MeshPool, MeshPoolData
+from .texture import TexturePool, TexturePoolData
+from .ltc import load_ltc_tables
+
+
+@struct.dataclass
+class TlasData:
+    tlas_min: jnp.ndarray  # (B, 3) f32
+    tlas_max: jnp.ndarray  # (B, 3) f32
+    tlas_left_right: jnp.ndarray  # (B,) uint32 (lo16 left, hi16 right; 0 = leaf)
+    tlas_instance: jnp.ndarray  # (B,) int32
+
+
+@struct.dataclass
+class SceneData:
+    meshes: MeshPoolData
+    instances: InstanceData
+    materials: MaterialData
+    lights: LightData
+    textures: TexturePoolData
+    ltc1: jnp.ndarray  # (64, 64, 4) f32
+    ltc2: jnp.ndarray  # (64, 64, 4) f32
+    tlas: Optional[TlasData] = None
+
+
+class World:
+    """Host-side scene assembly (pools + lights + asset import)."""
+
+    def __init__(self, texture_base_size: int = 1024, build_bvh: bool = True):
+        self.meshes = MeshPool(build_bvh=build_bvh)
+        self.instances = InstancePool()
+        self.materials = MaterialPool()
+        self.lights = LightPool()
+        self.textures = TexturePool(base_size=texture_base_size)
+
+    def add_area_light(self, color, intensity, wh, transform):
+        """Adds the light and an emissive quad instance (app.rs:220-236)."""
+        self.lights.add_area_light_from_transform(color, intensity, wh, transform)
+        wh = np.asarray(wh, np.float32)
+        scale = np.diag([wh[0] / 2.0, wh[1] / 2.0, 1.0, 1.0]).astype(np.float32)
+        self.instances.add(
+            np.asarray(transform, np.float32) @ scale,
+            VERTICAL_PLANE_MESH,
+            LIGHT_MATERIAL,
+        )
+
+    def build_tlas(self) -> TlasData:
+        mesh_h = self.meshes.host_arrays()
+        inst_h = self.instances.host_arrays()
+        imin, imax = bvh_mod.instance_world_aabbs(
+            mesh_h["mesh_min"],
+            mesh_h["mesh_max"],
+            inst_h["transform"],
+            inst_h["mesh_id"],
+        )
+        nodes = bvh_mod.build_tlas(imin, imax)
+        return TlasData(
+            tlas_min=jnp.asarray(np.ascontiguousarray(nodes["min"])),
+            tlas_max=jnp.asarray(np.ascontiguousarray(nodes["max"])),
+            tlas_left_right=jnp.asarray(np.ascontiguousarray(nodes["left_right"])),
+            tlas_instance=jnp.asarray(
+                np.ascontiguousarray(nodes["instance_idx"]).astype(np.int64)
+            ).astype(jnp.int32),
+        )
+
+    def device(self, with_tlas: bool = False) -> SceneData:
+        ltc1, ltc2 = load_ltc_tables()
+        return SceneData(
+            meshes=self.meshes.device(),
+            instances=self.instances.device(),
+            materials=self.materials.device(),
+            lights=self.lights.device(),
+            textures=self.textures.device(),
+            ltc1=jnp.asarray(ltc1),
+            ltc2=jnp.asarray(ltc2),
+            tlas=self.build_tlas() if with_tlas else None,
+        )
