@@ -1,0 +1,174 @@
+"""The Renderer: one jitted frame function over device-resident scene state.
+
+Equivalent of the reference App + frame loop (crates/app/src/app.rs:292-358):
+where the reference records passes into a command encoder and submits once
+per frame, here every pass is a pure function and the whole frame — update,
+cull, raster, resolve, shade, TAA, postprocess — is a single ``jax.jit``
+program: the TPU analogue of "GPU-driven, no CPU roundtrip".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.camera import Camera, CameraUniform
+from ..core.jitter import JitterSequence
+from ..passes import cull as cull_pass
+from ..passes import postprocess as post_pass
+from ..passes import raster as raster_pass
+from ..passes import resolve as resolve_pass
+from ..passes import shading as shading_pass
+from ..passes import taa as taa_pass
+from ..passes import update as update_pass
+from ..passes.raster import RasterConfig
+from ..scene.scene import SceneData
+from ..scene.texture import linear_to_srgb
+
+
+@struct.dataclass
+class Globals:
+    """Per-frame globals (global_ubo.rs Uniform)."""
+
+    resolution: jnp.ndarray  # (2,) f32
+    frame: jnp.ndarray  # () i32
+    time: jnp.ndarray  # () f32
+    dt: jnp.ndarray  # () f32
+    custom: jnp.ndarray  # () f32
+
+    @classmethod
+    def make(cls, width, height, frame=0, time=0.0, dt=0.0, custom=0.0):
+        return cls(
+            resolution=jnp.asarray([width, height], jnp.float32),
+            frame=jnp.asarray(frame, jnp.int32),
+            time=jnp.asarray(time, jnp.float32),
+            dt=jnp.asarray(dt, jnp.float32),
+            custom=jnp.asarray(custom, jnp.float32),
+        )
+
+
+@struct.dataclass
+class FrameState:
+    """Functional render state carried across frames (ViewTarget ping-pong +
+    TAA history in the reference)."""
+
+    history: jnp.ndarray  # (H, W, 3) f32 TAA history color
+    history_valid: jnp.ndarray  # () bool — False on the first frame
+
+    @classmethod
+    def initial(cls, width, height):
+        return cls(
+            history=jnp.zeros((height, width, 3), jnp.float32),
+            history_valid=jnp.asarray(False),
+        )
+
+
+def render_frame(
+    scene: SceneData,
+    camera: CameraUniform,
+    globals_: Globals,
+    state: FrameState,
+    moving_ids: jnp.ndarray,
+    config: RasterConfig,
+    enable_cull: bool = True,
+    enable_taa: bool = True,
+    enable_post: bool = True,
+):
+    """Full frame. Returns (srgb_image, new_state, new_scene, aux)."""
+    # 1. compute_update: animate moving instances on device.
+    instances = update_pass.compute_update(
+        scene.instances, moving_ids, globals_.time, globals_.dt
+    )
+    scene = scene.replace(instances=instances)
+
+    # 2. emit_draws: frustum cull + compaction.
+    if enable_cull:
+        draws = cull_pass.emit_draws(scene.meshes, scene.instances, camera)
+    else:
+        n = scene.instances.count
+        draws = cull_pass.DrawList(
+            instance=jnp.arange(n, dtype=jnp.int32), count=jnp.asarray(n, jnp.int32)
+        )
+
+    # 3. visibility raster + G-buffer resolve.
+    vis = raster_pass.rasterize(scene.meshes, scene.instances, draws, camera, config)
+    gbuffer = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
+
+    # 4. deferred shading (HDR).
+    hdr = shading_pass.shade(scene, gbuffer, camera)
+
+    # 5. TAA (reproject + resolve into history).
+    if enable_taa:
+        hdr, state = taa_pass.taa(hdr, gbuffer, camera, state)
+
+    # 6. postprocess (sharpen + tonemap) + sRGB encode (final blit).
+    ldr = post_pass.postprocess(hdr) if enable_post else hdr
+    srgb = linear_to_srgb(ldr)
+
+    aux = dict(
+        draw_count=draws.count,
+        overflow=vis.overflow,
+        depth=gbuffer.depth,
+        vis_coverage=jnp.sum((vis.tri_id >= 0).astype(jnp.int32)),
+    )
+    return srgb, state, scene, aux
+
+
+class Renderer:
+    """Host-side driver: owns the jitted frame fn and functional state."""
+
+    def __init__(
+        self,
+        scene: SceneData,
+        config: Optional[RasterConfig] = None,
+        enable_cull: bool = True,
+        enable_taa: bool = True,
+        enable_post: bool = True,
+        moving_ids: Optional[np.ndarray] = None,
+    ):
+        self.scene = scene
+        self.config = config or RasterConfig()
+        self.enable_taa = enable_taa
+        self.state = FrameState.initial(self.config.width, self.config.height)
+        self.moving_ids = jnp.asarray(
+            moving_ids if moving_ids is not None else np.zeros(0, np.int32)
+        )
+        self.jitter = JitterSequence()
+        self.frame_count = 0
+        self.time = 0.0
+        self._fn = jax.jit(
+            partial(
+                render_frame,
+                config=self.config,
+                enable_cull=enable_cull,
+                enable_taa=enable_taa,
+                enable_post=enable_post,
+            )
+        )
+
+    def render(self, camera: Camera, dt: float = 1.0 / 60.0) -> jnp.ndarray:
+        if self.enable_taa:
+            camera.jitter = self.jitter.get_jitter(
+                self.frame_count, self.config.width, self.config.height
+            )
+        uniform = camera.uniform(previous=getattr(self, "_prev_uniform", None))
+        self._prev_uniform = uniform
+        globals_ = Globals.make(
+            self.config.width,
+            self.config.height,
+            frame=self.frame_count,
+            time=self.time,
+            dt=dt,
+        )
+        img, self.state, self.scene, self.aux = self._fn(
+            self.scene, uniform, globals_, self.state, self.moving_ids
+        )
+        self.frame_count += 1
+        self.time += dt
+        return img

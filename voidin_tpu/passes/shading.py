@@ -1,0 +1,221 @@
+"""Deferred shading: ambient + emissive, point lights, LTC area lights.
+
+Dense per-pixel port of shaders/shading.wgsl:36-118 over the G-buffer —
+fully data-parallel, ideal for the VPU. Faithfully reproduced semantics:
+
+* world position reconstructed from reverse-Z depth + clip_to_world
+  (utils/uv.wgsl world_position_from_depth);
+* ambient = 0.01 * albedo + emissive; LIGHT_MATERIAL pixels render
+  albedo + emissive and skip all lights (shading.wgsl:66-71);
+* point lights: smooth attenuation (1-s^2)^2/(1+f*s^2), lambert diffuse and
+  the reference's pow-16 "spec" term — which uses dot(-rd, normal) and is
+  therefore ~always zero for front-facing surfaces; kept bit-for-bit for
+  parity (shading.wgsl:85-95);
+* area lights: LTC rect evaluation (utils/ltc.wgsl) with roughness from
+  metallic_roughness.x, radius-25 attenuation on the specular term only
+  (shading.wgsl:98-112).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import encoding
+from ..scene.material import LIGHT_MATERIAL
+from ..scene.scene import SceneData
+from ..scene.texture import sample_lut_bilinear, sample_trilinear
+from .gbuffer import GBuffer
+
+LUT_SIZE = 64.0
+LUT_SCALE = (LUT_SIZE - 1.0) / LUT_SIZE
+LUT_BIAS = 0.5 / LUT_SIZE
+
+
+def _normalize(v, eps=1e-20):
+    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
+
+
+def world_position_from_depth(depth: jnp.ndarray, clip_to_world) -> jnp.ndarray:
+    """(H, W) raw depth -> (H, W, 3) world positions (uv.wgsl:18-23)."""
+    H, W = depth.shape
+    # uv convention: x right, y down; ndc y = (1 - uv.y)*2 - 1.
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    x_ndc = (u * 2.0 - 1.0)[None, :].repeat(H, 0)
+    y_ndc = ((1.0 - v) * 2.0 - 1.0)[:, None].repeat(W, 1)
+    m = jnp.asarray(clip_to_world)
+    clip = jnp.stack(
+        [x_ndc, y_ndc, depth, jnp.ones_like(depth)], axis=-1
+    )  # (H, W, 4)
+    world = jnp.einsum("ij,hwj->hwi", m, clip)
+    # depth == 0 (background, infinite far) gives w == 0: clamp so the
+    # position is a huge-but-finite point and downstream light math stays
+    # NaN-free (attenuation evaluates to 0 there).
+    w = world[..., 3:4]
+    w = jnp.where(jnp.abs(w) > 1e-12, w, jnp.where(w < 0, -1e-12, 1e-12))
+    return jnp.clip(world[..., :3] / w, -1e12, 1e12)
+
+
+def attenuation(max_intensity, falloff, dist, radius):
+    s = dist / radius
+    s2 = s * s
+    att = max_intensity * (1.0 - s2) ** 2 / (1.0 + falloff * s2)
+    return jnp.where(s >= 1.0, 0.0, att)
+
+
+def uv_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
+    """Mip level from screen-space finite differences of the uv image."""
+    du = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
+    dv = jnp.diff(uv, axis=0, append=uv[-1:, :, :])
+    rho = jnp.maximum(
+        jnp.abs(du[..., 0]) * tex_w + jnp.abs(du[..., 1]) * tex_h,
+        jnp.abs(dv[..., 0]) * tex_w + jnp.abs(dv[..., 1]) * tex_h,
+    )
+    return jnp.clip(jnp.log2(jnp.maximum(rho, 1e-8)), 0.0, 16.0)
+
+
+# ---------------------------------------------------------------------------
+# LTC (utils/ltc.wgsl)
+# ---------------------------------------------------------------------------
+
+
+def integrate_edge(v1, v2):
+    """ltc.wgsl:52-66 — vectorized over (..., 3)."""
+    x = jnp.sum(v1 * v2, axis=-1)
+    y = jnp.abs(x)
+    a = 0.8543985 + (0.4965155 + 0.0145206 * y) * y
+    b = 3.4175940 + (4.1616724 + y) * y
+    v = a / b
+    theta_sintheta = jnp.where(
+        x > 0.0,
+        v,
+        0.5 / jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-7)) - v,
+    )
+    return jnp.cross(v1, v2) * theta_sintheta[..., None]
+
+
+def ltc_matrix(scene: SceneData, nor, view, roughness):
+    """ltc.wgsl:160-177: fetch inverse-M + the LTC2 norm/fresnel texel."""
+    ndotv = jnp.clip(jnp.sum(nor * view, axis=-1), 0.0, 1.0)
+    uv = jnp.stack([roughness, jnp.sqrt(1.0 - ndotv)], axis=-1)
+    uv = uv * LUT_SCALE + LUT_BIAS
+    t1 = sample_lut_bilinear(scene.ltc1, uv)  # (..., 4)
+    t2 = sample_lut_bilinear(scene.ltc2, uv)
+    # WGSL columns (t1.x,0,t1.y),(0,1,0),(t1.z,0,t1.w) -> row-major matrix.
+    zero = jnp.zeros_like(t1[..., 0])
+    one = jnp.ones_like(zero)
+    minv = jnp.stack(
+        [
+            jnp.stack([t1[..., 0], zero, t1[..., 2]], axis=-1),
+            jnp.stack([zero, one, zero], axis=-1),
+            jnp.stack([t1[..., 1], zero, t1[..., 3]], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 3, 3) acting on column vectors
+    return minv, t1, t2
+
+
+def ltc_evaluate_rect(scene: SceneData, nor, view, pos, mminv, points, two_sided=False):
+    """ltc.wgsl:108-158. points: (4, 3); pixel fields (..., 3)."""
+    t1v = _normalize(view - nor * jnp.sum(view * nor, axis=-1, keepdims=True))
+    t2v = jnp.cross(nor, t1v)
+    # minv = mminv @ transpose(mat3(T1, T2, N)): rows T1, T2, N.
+    basis = jnp.stack([t1v, t2v, nor], axis=-2)  # (..., 3, 3) rows
+    minv = jnp.einsum("...ij,...jk->...ik", mminv, basis)
+
+    L = jnp.einsum("...ij,...pj->...pi", minv, points[..., None, :, :] - pos[..., None, :])
+    Ln = _normalize(L)
+
+    direction = points[..., 0, :] - pos  # (..., 3)
+    light_normal = jnp.cross(
+        points[..., 1, :] - points[..., 0, :], points[..., 3, :] - points[..., 0, :]
+    )
+    behind = jnp.sum(direction * light_normal, axis=-1) < 0.0
+
+    vsum = (
+        integrate_edge(Ln[..., 0, :], Ln[..., 1, :])
+        + integrate_edge(Ln[..., 1, :], Ln[..., 2, :])
+        + integrate_edge(Ln[..., 2, :], Ln[..., 3, :])
+        + integrate_edge(Ln[..., 3, :], Ln[..., 0, :])
+    )
+    length = jnp.linalg.norm(vsum, axis=-1)
+    z = vsum[..., 2] / jnp.maximum(length, 1e-20)
+    z = jnp.where(behind, -z, z)
+    uv = jnp.stack([z * 0.5 + 0.5, length], axis=-1) * LUT_SCALE + LUT_BIAS
+    scale = sample_lut_bilinear(scene.ltc2, uv)[..., 3]
+    total = length * scale
+    if not two_sided:
+        total = jnp.where(behind, 0.0, total)
+    return total  # (...,) scalar irradiance (vec3 splat in WGSL)
+
+
+def shade(scene: SceneData, gbuffer: GBuffer, camera) -> jnp.ndarray:
+    """G-buffer -> (H, W, 3) HDR color."""
+    depth = gbuffer.depth
+    material_id = gbuffer.material
+    uv = encoding.unpack2x16float(gbuffer.normal_uv[..., 1])
+    nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
+
+    mats = scene.materials
+    mat_albedo = mats.albedo[material_id]
+    mat_emissive = mats.emissive[material_id]
+    mat_mr = mats.metallic_roughness[material_id]
+
+    tex_w = scene.textures.size[mat_albedo][..., 0].astype(jnp.float32)
+    tex_h = scene.textures.size[mat_albedo][..., 1].astype(jnp.float32)
+    lod = uv_lod(uv, tex_w, tex_h)
+    # NOTE: the reference samples the albedo texture only — material
+    # base_color does NOT factor into shading (shading.wgsl:58, it is used
+    # solely for the alpha cutoff in the raster pass). Parity kept.
+    albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
+    emissive = sample_trilinear(scene.textures, mat_emissive, uv, lod)[..., :3]
+    mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
+
+    pos = world_position_from_depth(depth, camera.clip_to_world)
+    cam_pos = jnp.asarray(camera.position)[:3]
+    rd = _normalize(cam_pos - pos)
+
+    is_light = material_id == LIGHT_MATERIAL
+    color = albedo[..., :3] * 0.01 + emissive
+    color = jnp.where(is_light[..., None], albedo[..., :3] + emissive, color)
+
+    # Point lights (python loop over the static light count unrolls in jit).
+    lights = scene.lights
+    for i in range(lights.point_radius.shape[0]):
+        lpos = lights.point_position[i]
+        lrad = lights.point_radius[i]
+        lcol = lights.point_color[i]
+        light_vec = lpos - pos
+        dist = jnp.linalg.norm(light_vec, axis=-1)
+        atten = attenuation(1.0, 1.0, dist, lrad)
+        light_dir = _normalize(light_vec)
+        shade_t = jnp.maximum(0.0, jnp.sum(nor * light_dir, axis=-1))
+        diff = lcol * albedo[..., :3] * (shade_t * atten)[..., None]
+        covr = jnp.maximum(0.0, jnp.sum(-rd * nor, axis=-1))
+        spec = lcol * (mr[..., 2] * covr**16 * atten)[..., None]
+        contrib = jnp.where((dist - lrad > 0.0)[..., None], 0.0, diff + spec)
+        color = color + jnp.where(is_light[..., None], 0.0, contrib)
+
+    # Area lights.
+    if lights.area_intensity.shape[0] > 0:
+        roughness = jnp.clip(mr[..., 0], 0.0, 1.0)
+        minv, _t1, t2 = ltc_matrix(scene, nor, rd, roughness)
+        identity = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), minv.shape)
+        for i in range(lights.area_intensity.shape[0]):
+            pts = lights.area_points[i]  # (4, 3)
+            intensity = lights.area_intensity[i]
+            lcol = lights.area_color[i]
+            light_radius = 25.0
+            center = (pts[0] + pts[2]) * 0.5
+            diff = ltc_evaluate_rect(scene, nor, rd, pos, identity, pts)
+            spec = ltc_evaluate_rect(scene, nor, rd, pos, minv, pts)
+            # scolor = vec3(1): spec *= t2.x (ltc.wgsl:188-191)
+            spec = spec * t2[..., 0]
+            dist_c = jnp.linalg.norm(center - pos, axis=-1)
+            atten = attenuation(intensity, 500.0, dist_c, light_radius)
+            contrib = (lcol * intensity)[None, None, :] * (
+                (spec * atten)[..., None] + albedo[..., :3] * diff[..., None]
+            )
+            color = color + jnp.where(is_light[..., None], 0.0, contrib)
+
+    return jnp.maximum(color, 0.0)

@@ -1,0 +1,212 @@
+"""Temporal anti-aliasing: depth-dilated reprojection + variance-clamped
+history resolve.
+
+Per-pixel ports of shaders/reproject.wgsl:14-38 and shaders/taa.wgsl:45-103
+with identical constants: 3x3 max-depth dilation, velocity =
+(curr_ndc + jitter) - (prev_ndc + prev_jitter), YCbCr Gaussian-weighted 3x3
+moments (w = exp(-3 d^2 / (k+1)^2)), Mitchell-Netravali(B=C=1/3) filtered
+center, adaptive box from local contrast + texel-center distance, mu +/-
+1.5 sigma clamp, blend 1 -> 1/12 by velocity validity widened by clamp
+distance.
+
+Functional state: the history ping-pong becomes (history in) -> (history
+out); the reference's AtomicU8 texture flip (taa.rs:311-318) disappears.
+Deviation: a `history_valid` flag seeds history with the current frame on
+frame 0 instead of converging from black (the reference starts from a
+zeroed texture).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.color import rgb_to_ycbcr, ycbcr_to_rgb
+from .shading import world_position_from_depth
+
+
+def _shift(img, dy, dx):
+    H, W = img.shape[:2]
+    ys = jnp.clip(jnp.arange(H) + dy, 0, H - 1)
+    xs = jnp.clip(jnp.arange(W) + dx, 0, W - 1)
+    return img[ys][:, xs]
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _mitchell_weight_np(x: float) -> float:
+    """Scalar Mitchell-Netravali weight (host-side constant)."""
+    import numpy as np
+
+    B = C = 1.0 / 3.0
+    ax = abs(float(x))
+    if ax < 1.0:
+        return (
+            (12 - 9 * B - 6 * C) * ax**3
+            + (-18 + 12 * B + 6 * C) * ax**2
+            + (6 - 2 * B)
+        ) / 6.0
+    if ax < 2.0:
+        return (
+            (-B - 6 * C) * ax**3
+            + (6 * B + 30 * C) * ax**2
+            + (-12 * B - 48 * C) * ax
+            + (8 * B + 24 * C)
+        ) / 6.0
+    return 0.0
+
+
+def _mitchell_netravali(x):
+    B = C = 1.0 / 3.0
+    ax = jnp.abs(x)
+    p1 = (
+        (12.0 - 9.0 * B - 6.0 * C) * ax**3
+        + (-18.0 + 12.0 * B + 6.0 * C) * ax**2
+        + (6.0 - 2.0 * B)
+    ) / 6.0
+    p2 = (
+        (-B - 6.0 * C) * ax**3
+        + (6.0 * B + 30.0 * C) * ax**2
+        + (-12.0 * B - 48.0 * C) * ax
+        + (8.0 * B + 24.0 * C)
+    ) / 6.0
+    return jnp.where(ax < 1.0, p1, jnp.where(ax < 2.0, p2, 0.0))
+
+
+def _bilinear_clamp(img, u, v):
+    """Bilinear sample of (H, W, C) at normalized uv (clamp-to-edge)."""
+    H, W = img.shape[:2]
+    fx = u * W - 0.5
+    fy = v * H - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    c00 = img[y0i, x0i]
+    c10 = img[y0i, x1i]
+    c01 = img[y1i, x0i]
+    c11 = img[y1i, x1i]
+    top = c00 * (1 - tx) + c10 * tx
+    bot = c01 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def reproject(gbuffer, camera) -> jnp.ndarray:
+    """-> (H, W, 3): (velocity.xy in NDC units, in-bounds flag)."""
+    depth = gbuffer.depth
+    H, W = depth.shape
+    # 3x3 max dilation (reproject.wgsl:20-26).
+    d = depth
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            d = jnp.maximum(d, _shift(depth, dy, dx))
+
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    x_ndc = (u * 2.0 - 1.0)[None, :].repeat(H, 0)
+    y_ndc = ((1.0 - v) * 2.0 - 1.0)[:, None].repeat(W, 1)
+
+    pos_ws = world_position_from_depth(d, camera.clip_to_world)
+    m = jnp.asarray(camera.prev_world_to_clip)
+    prev = jnp.einsum("ij,hwj->hwi", m[:, :3], pos_ws) + m[:, 3]
+    prev_ndc = prev[..., :2] / prev[..., 3:4]
+
+    jit = jnp.asarray(camera.jitter)
+    pjit = jnp.asarray(camera.prev_jitter)
+    vel_x = (x_ndc + jit[0]) - (prev_ndc[..., 0] + pjit[0])
+    vel_y = (y_ndc + jit[1]) - (prev_ndc[..., 1] + pjit[1])
+
+    inv_dims = jnp.asarray([1.0 / W, 1.0 / H], jnp.float32)
+    in_bounds = jnp.all(
+        prev_ndc == jnp.clip(prev_ndc, -1.0 + inv_dims, 1.0 - inv_dims), axis=-1
+    )
+    return jnp.stack([vel_x, vel_y, in_bounds.astype(jnp.float32)], axis=-1)
+
+
+def taa_resolve(color, history, motion) -> jnp.ndarray:
+    """taa.wgsl:45-103. color/history: (H, W, 3); motion: (H, W, 3)."""
+    H, W = color.shape[:2]
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    uu = u[None, :].repeat(H, 0)
+    vv = v[:, None].repeat(W, 1)
+
+    vel = motion
+    hist_u = uu - vel[..., 0] * 0.5
+    hist_v = vv + vel[..., 1] * 0.5  # * (1, -1) flip
+
+    hist = rgb_to_ycbcr(_bilinear_clamp(history, hist_u, hist_v))
+
+    # 3x3 Gaussian-weighted moments in YCbCr.
+    vsum = jnp.zeros_like(color)
+    vsum2 = jnp.zeros_like(color)
+    wsum = 0.0
+    mn_sum = jnp.zeros_like(color)
+    mn_wsum = 0.0
+    import numpy as np
+
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = _shift(color, dy, dx)
+            neigh = rgb_to_ycbcr(shifted)
+            w = float(np.exp(-3.0 * (dx * dx + dy * dy) / 4.0))
+            vsum = vsum + neigh * w
+            vsum2 = vsum2 + neigh * neigh * w
+            wsum += w
+            # Mitchell-Netravali center filter accumulates in RGB
+            wt = _mitchell_weight_np(np.sqrt(dx * dx + dy * dy))
+            mn_sum = mn_sum + shifted * wt
+            mn_wsum += wt
+
+    ex = vsum / wsum
+    ex2 = vsum2 / wsum
+    dev = jnp.sqrt(jnp.maximum(0.0, ex2 - ex * ex))
+    local_contrast = dev[..., 0] / (ex[..., 0] + 1e-5)
+
+    hist_px = hist_u * W
+    hist_py = hist_v * H
+    frac = jnp.stack(
+        [hist_px - jnp.floor(hist_px), hist_py - jnp.floor(hist_py)], axis=-1
+    )
+    texel_center_dist = jnp.sum(jnp.abs(0.5 - frac), axis=-1)
+
+    box_size = 1.0
+    box_size = box_size * (0.5 + 0.5 * _smoothstep(-0.1, 0.3, local_contrast))
+    box_size = box_size * (
+        0.5 + 0.5 * jnp.clip(1.0 - texel_center_dist, 0.0, 1.0)
+    )
+
+    center = rgb_to_ycbcr(mn_sum / mn_wsum)
+
+    n_dev = 1.5
+    bs2 = (box_size * box_size)[..., None]
+    mid = center + (ex - center) * bs2
+    nmin = mid - dev * (box_size[..., None] * n_dev)
+    nmax = mid + dev * (box_size[..., None] * n_dev)
+
+    clamped = jnp.clip(hist, nmin, nmax)
+    blend = 1.0 + (1.0 / 12.0 - 1.0) * vel[..., 2]
+    clamp_dist = jnp.minimum(
+        jnp.abs(hist[..., 0] - nmin[..., 0]), jnp.abs(hist[..., 0] - nmax[..., 0])
+    ) / jnp.maximum(jnp.maximum(hist[..., 0], ex[..., 0]), 1e-5)
+    blend = blend * (0.2 + 0.8 * _smoothstep(0.0, 2.0, clamp_dist))
+
+    result = clamped + (center - clamped) * blend[..., None]
+    return ycbcr_to_rgb(result)
+
+
+def taa(color, gbuffer, camera, state):
+    """Full TAA pass; returns (resolved color, new state)."""
+    motion = reproject(gbuffer, camera)
+    resolved = taa_resolve(color, state.history, motion)
+    out = jnp.where(state.history_valid, resolved, color)
+    new_state = state.replace(history=out, history_valid=jnp.asarray(True))
+    return out, new_state
