@@ -66,14 +66,15 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     world, moving = build_world()
+    import jax
+
     cfg = RasterConfig(
         width=args.width,
         height=args.height,
-        tile_h=8,
-        tile_w=128,
         tri_capacity=1 << 16,
-        pair_capacity=1 << 17,
-        tile_tri_capacity=512,
+        pair_capacity=1 << 18,
+        tile_tri_capacity=128,
+        interpret=jax.default_backend() == "cpu",
     )
     r = Renderer(world.device(), cfg, moving_ids=np.asarray(moving, np.int32))
     cam = vt.Camera(position=[0.0, 2.0, 2.0], yaw=0.0, pitch=-10.0,

@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""Fit LTC (Linearly Transformed Cosines) tables for GGX.
+
+Implements the fitting pipeline of Heitz, Dupuy, Hill & Neubelt,
+"Real-Time Polygonal-Light Shading with Linearly Transformed Cosines"
+(SIGGRAPH 2016) from scratch:
+
+* For every (roughness, view angle) cell of a 64x64 grid, fit the inverse
+  LTC matrix Q = [[a,0,b],[0,1,0],[c,0,d]] such that the transformed
+  clamped-cosine distribution D_ltc(w) = cos(Qw^)/pi * det(Q)/|Qw|^3
+  matches the normalized GGX BRDF-times-cosine lobe (height-correlated
+  Smith, F = 1).
+* The error is an MIS-weighted L3 norm over samples drawn from both
+  distributions (cosine samples pushed through M = Q^-1, GGX VNDF
+  samples), optimized with Adam, vmapped over all 4096 cells at once.
+* LTC2 stores (magnitude, fresnel-weight, 0, horizon-clipped sphere form
+  factor); the sphere channel is integrated numerically.
+
+Output: voidin_tpu/assets/ltc_tables.npz with ltc1 (64,64,4) and
+ltc2 (64,64,4), axis convention u = roughness, v = sqrt(1 - cos(theta_v))
+(scaled by LUT_SCALE/BIAS at sample time, matching utils/ltc.wgsl).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax  # noqa: E402
+
+# NOTE: this jax build ignores the JAX_PLATFORMS env var; config is the only
+# reliable platform pin.
+jax.config.update("jax_platforms", os.environ.get("FIT_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", True)  # L3 error terms overflow f32
+import jax.numpy as jnp  # noqa: E402
+
+LUT_SIZE = 64
+
+
+# ---------------------------------------------------------------------------
+# GGX (height-correlated Smith, F=1)
+# ---------------------------------------------------------------------------
+
+
+def ggx_lobe(wv, w, alpha):
+    """rho(wv, w) * cos(theta) for GGX, F=1; w, wv (..., 3), z-up."""
+    h = w + wv
+    hn = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    h = h / jnp.maximum(hn, 1e-9)
+    nh = jnp.clip(h[..., 2], 0.0, 1.0)
+    nv = jnp.clip(wv[..., 2], 1e-6, 1.0)
+    nl = jnp.clip(w[..., 2], 0.0, 1.0)
+    a2 = alpha * alpha
+    d = a2 / jnp.maximum(np.pi * (nh * nh * (a2 - 1.0) + 1.0) ** 2, 1e-12)
+    # height-correlated Smith visibility (G / (4 nv nl))
+    lam_v = nl * jnp.sqrt(nv * nv * (1.0 - a2) + a2)
+    lam_l = nv * jnp.sqrt(nl * nl * (1.0 - a2) + a2)
+    vis = 0.5 / jnp.maximum(lam_v + lam_l, 1e-9)
+    return jnp.where(w[..., 2] > 0.0, d * vis * nl, 0.0)
+
+
+def ggx_pdf(wv, w, alpha):
+    """VNDF sampling pdf of w (z-up)."""
+    h = w + wv
+    hn = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    h = h / jnp.maximum(hn, 1e-9)
+    nh = jnp.clip(h[..., 2], 0.0, 1.0)
+    nv = jnp.clip(wv[..., 2], 1e-6, 1.0)
+    a2 = alpha * alpha
+    d = a2 / jnp.maximum(np.pi * (nh * nh * (a2 - 1.0) + 1.0) ** 2, 1e-12)
+    # G1(wv)
+    lam = 0.5 * (-1.0 + jnp.sqrt(1.0 + a2 * (1.0 / (nv * nv) - 1.0)))
+    g1 = 1.0 / (1.0 + lam)
+    vh = jnp.clip(jnp.sum(wv * h, axis=-1), 1e-6, None)
+    return jnp.where(w[..., 2] > 0.0, d * g1 * vh / (4.0 * vh * nv), 1e-12)
+
+
+def sample_ggx_vndf(wv, alpha, u1, u2):
+    """Heitz 2018 VNDF sampling; wv (B,3), alpha (B,), u (B,S) -> (B,S,3)."""
+    wv_b = wv[:, None, :]  # (B, 1, 3)
+    al = alpha[:, None, None]  # (B, 1, 1)
+    v = jnp.concatenate(
+        [al * wv_b[..., :2], wv_b[..., 2:3]], axis=-1
+    )
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)  # (B, 1, 3)
+    lensq = v[..., 0] ** 2 + v[..., 1] ** 2
+    t1 = jnp.where(
+        (lensq > 1e-7)[..., None],
+        jnp.stack([-v[..., 1], v[..., 0], jnp.zeros_like(lensq)], axis=-1)
+        / jnp.sqrt(jnp.maximum(lensq, 1e-7))[..., None],
+        jnp.array([1.0, 0.0, 0.0]),
+    )
+    t2 = jnp.cross(v, t1)
+    r = jnp.sqrt(u1)  # (B, S)
+    phi = 2.0 * np.pi * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + v[..., 2])  # (B, 1)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * v  # (B, S, 3)
+    h = jnp.concatenate(
+        [al * nh[..., :2], jnp.maximum(nh[..., 2:3], 0.0)], axis=-1
+    )
+    h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+    w = 2.0 * jnp.sum(wv_b * h, axis=-1, keepdims=True) * h - wv_b
+    return w
+
+
+# ---------------------------------------------------------------------------
+# LTC distribution from the inverse matrix Q
+# ---------------------------------------------------------------------------
+
+
+def q_matrix(p):
+    """params (..., 4) = (a, b, c, d) -> Q rows [[a,0,b],[0,1,0],[c,0,d]]."""
+    a, b, c, d = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+    zero = jnp.zeros_like(a)
+    one = jnp.ones_like(a)
+    return jnp.stack(
+        [
+            jnp.stack([a, zero, b], axis=-1),
+            jnp.stack([zero, one, zero], axis=-1),
+            jnp.stack([c, zero, d], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def ltc_eval(p, w):
+    """D_ltc(w) and its value as pdf (they coincide; it integrates to 1)."""
+    q = q_matrix(p)  # (..., 3, 3)
+    wo = jnp.einsum("...ij,...sj->...si", q, w)
+    l = jnp.linalg.norm(wo, axis=-1)
+    wo_z = wo[..., 2] / jnp.maximum(l, 1e-9)
+    det = jnp.abs(
+        p[..., 0] * p[..., 3] - p[..., 1] * p[..., 2]
+    )  # det of Q (middle row unit)
+    jac = det[..., None] / jnp.maximum(l, 1e-9) ** 3
+    return jnp.maximum(wo_z, 0.0) / np.pi * jac
+
+
+def ltc_sample(p, u1, u2):
+    """Push cosine samples through M = Q^-1."""
+    r = jnp.sqrt(u1)
+    phi = 2.0 * np.pi * u2
+    wo = jnp.stack(
+        [r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.maximum(1 - u1, 0.0))],
+        axis=-1,
+    )
+    q = q_matrix(p)
+    m = jnp.linalg.inv(q)
+    w = jnp.einsum("...ij,...sj->...si", m, wo)
+    return w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Fitting
+# ---------------------------------------------------------------------------
+
+
+def make_grid():
+    """(v, u) grids: u (columns) = perceptual roughness, v (rows) =
+    sqrt(1 - n.v) — the ltc.wgsl sampling convention (ltc_matrix)."""
+    i = (np.arange(LUT_SIZE) + 0.5) / LUT_SIZE
+    rough = np.broadcast_to(i[None, :], (LUT_SIZE, LUT_SIZE))
+    sq = np.broadcast_to(i[:, None], (LUT_SIZE, LUT_SIZE))
+    alpha = np.maximum(rough * rough, 1e-4)
+    ndotv = np.clip(1.0 - sq * sq, 1e-5, 1.0)
+    return alpha.astype(np.float32), ndotv.astype(np.float32)
+
+
+def fit_tables(n_samples=64, steps=600, lr=2e-3, seed=0):
+    alpha_g, ndotv_g = make_grid()
+    A = alpha_g.reshape(-1).astype(np.float64)
+    NV = ndotv_g.reshape(-1).astype(np.float64)
+    B = A.shape[0]
+    wv = jnp.stack(
+        [jnp.sqrt(jnp.maximum(1 - NV * NV, 0.0)), jnp.zeros_like(NV), NV], axis=-1
+    )  # view in xz plane
+
+    key = jax.random.key(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    u1g = jax.random.uniform(k1, (B, n_samples))
+    u2g = jax.random.uniform(k2, (B, n_samples))
+    u1c = jax.random.uniform(k3, (B, n_samples))
+    u2c = jax.random.uniform(k4, (B, n_samples))
+
+    w_ggx = sample_ggx_vndf(wv, A, u1g, u2g)  # (B, S, 3)
+
+    # Normalization (magnitude) and mean direction via VNDF importance.
+    vals = ggx_lobe(wv[:, None, :], w_ggx, A[:, None])
+    pdfs = ggx_pdf(wv[:, None, :], w_ggx, A[:, None])
+    mag = jnp.mean(vals / pdfs, axis=-1)  # (B,)
+    mean_dir = jnp.sum((vals / pdfs)[..., None] * w_ggx, axis=1)
+    mean_dir = mean_dir / jnp.maximum(
+        jnp.linalg.norm(mean_dir, axis=-1, keepdims=True), 1e-9
+    )
+
+    # Init: compress z by ~alpha (sharp lobe) and tilt so the GGX mean
+    # direction maps onto +z: Q m = (m.x + b m.z, 0, c m.x + d m.z).
+    mx, mz = mean_dir[..., 0], jnp.clip(mean_dir[..., 2], 1e-3, 1.0)
+    a0 = jnp.ones_like(A)
+    b0 = -mx / mz
+    d0 = jnp.asarray(A)
+    params0 = jnp.stack([a0, b0, jnp.zeros_like(a0), d0], axis=-1)
+
+    def loss_fn(params):
+        # samples from both distributions, MIS-balanced L3 error
+        w_cos = ltc_sample(params, u1c, u2c)
+        def err_at(w):
+            d_l = ltc_eval(params, w)
+            d_g = ggx_lobe(wv[:, None, :], w, A[:, None]) / mag[:, None]
+            p_l = d_l  # ltc density == its pdf
+            p_g = ggx_pdf(wv[:, None, :], w, A[:, None])
+            e = jnp.abs(d_l - d_g) ** 3
+            return e / jnp.maximum(p_l + p_g, 1e-9)
+        cell = jnp.mean(err_at(w_ggx) + err_at(w_cos), axis=-1)
+        # log-equalize: near-specular cells have astronomically larger raw
+        # error scales and would starve everything else of gradient.
+        return jnp.sum(jnp.log1p(jnp.minimum(cell, 1e30)))
+
+    import optax
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    params = params0
+    state = opt.init(params)
+    for i in range(steps):
+        params, state, loss = step(params, state)
+        if i % 100 == 0:
+            print(f"  step {i}: loss {float(loss):.5f}")
+
+    # Normalize sign/scale: Q is scale-invariant; fix d > 0 and unit middle.
+    p = np.asarray(params, np.float64)
+    # fresnel term: int rho cos (1 - (wv.h))^5 via same VNDF samples
+    h = w_ggx + wv[:, None, :]
+    h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+    vh = jnp.clip(jnp.sum(wv[:, None, :] * h, axis=-1), 0.0, 1.0)
+    fres = jnp.mean(vals / pdfs * (1.0 - vh) ** 5, axis=-1)
+
+    ltc1 = np.zeros((B, 4), np.float32)
+    # wgsl reconstruction: Minv = [[t1.x,0,t1.z],[0,1,0],[t1.y,0,t1.w]]
+    ltc1[:, 0] = p[:, 0]  # a
+    ltc1[:, 2] = p[:, 1]  # b  (t1.z)
+    ltc1[:, 1] = p[:, 2]  # c  (t1.y)
+    ltc1[:, 3] = p[:, 3]  # d
+    ltc2 = np.zeros((B, 4), np.float32)
+    ltc2[:, 0] = np.asarray(mag, np.float32)
+    ltc2[:, 1] = np.asarray(fres, np.float32)
+    return (
+        ltc1.reshape(LUT_SIZE, LUT_SIZE, 4),
+        ltc2.reshape(LUT_SIZE, LUT_SIZE, 4),
+    )
+
+
+def sphere_table(n_theta=128, n_phi=256):
+    """Horizon-clipped sphere form factor / unclipped, over (z, len)."""
+    zi = (np.arange(LUT_SIZE) + 0.5) / LUT_SIZE * 2.0 - 1.0  # axis elevation
+    li = (np.arange(LUT_SIZE) + 0.5) / LUT_SIZE  # form factor len
+    out = np.zeros((LUT_SIZE, LUT_SIZE), np.float32)
+    # integrate clamped cosine over the spherical cap around the axis
+    t = (np.arange(n_theta) + 0.5) / n_theta
+    p = (np.arange(n_phi) + 0.5) / n_phi * 2 * np.pi
+    for vi, ln in enumerate(li):
+        sin_sigma2 = min(ln, 1.0)
+        cos_sigma = np.sqrt(max(1.0 - sin_sigma2, 0.0))
+        # cap directions around axis; theta in [0, sigma]
+        ct = 1.0 - t * (1.0 - cos_sigma)  # cos(theta) within cap
+        st = np.sqrt(np.maximum(1 - ct * ct, 0))
+        for ui, z in enumerate(zi):
+            sz = np.sqrt(max(1 - z * z, 0.0))
+            # direction = axis rotated: d_z = ct*z + st*cos(phi)*sz
+            dz = ct[:, None] * z + st[:, None] * np.cos(p)[None, :] * sz
+            vis = np.maximum(dz, 0.0)
+            # solid-angle weighted integral of cos above horizon / pi
+            f_clipped = vis.mean() * (1.0 - cos_sigma) * 2 * np.pi / np.pi
+            f_full = sin_sigma2
+            out[vi, ui] = f_clipped / max(f_full, 1e-6)
+    return np.clip(out, 0.0, 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__), "..", "voidin_tpu", "assets", "ltc_tables.npz"
+        ),
+    )
+    args = ap.parse_args()
+    print("fitting LTC matrices ...")
+    ltc1, ltc2 = fit_tables(n_samples=args.samples, steps=args.steps)
+    print("integrating sphere-clip table ...")
+    ltc2[..., 3] = sphere_table()
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez(args.out, ltc1=ltc1, ltc2=ltc2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from . import fastmath
+
 _LUMA = np.array([0.2126, 0.7152, 0.0722], dtype=np.float32)
 
 # WGSL: mat3x3(0.2126, 0.7152, 0.0722, -0.1146, -0.3854, 0.5, 0.5, -0.4542, -0.0458)
@@ -36,12 +38,12 @@ _YCBCR_TO_RGB = np.array(
 
 def calculate_luma(col: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) -> (...,) BT.709 luma."""
-    return jnp.einsum("...c,c->...", col, jnp.asarray(_LUMA))
+    return 0.2126 * col[..., 0] + 0.7152 * col[..., 1] + 0.0722 * col[..., 2]
 
 
 def rgb_to_ycbcr(col: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("...c,jc->...j", col, jnp.asarray(_RGB_TO_YCBCR))
+    return fastmath.const_mat_vec(_RGB_TO_YCBCR, col)
 
 
 def ycbcr_to_rgb(col: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("...c,jc->...j", col, jnp.asarray(_YCBCR_TO_RGB))
+    return fastmath.const_mat_vec(_YCBCR_TO_RGB, col)

@@ -1,0 +1,103 @@
+"""VPU-friendly batched small-matrix arithmetic.
+
+XLA lowers `einsum` with tiny contraction dims (3 or 4) on large batches to
+batched dot_generals that pad each 3x3 multiply onto 128x128 MXU tiles —
+thousands of times more work than the math requires. These helpers express
+the same contractions as explicit elementwise multiply-adds, which XLA
+fuses into surrounding VPU code. Every per-pixel / per-triangle matrix op
+in the frame goes through here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mat3_vec(m, v):
+    """(..., 3, 3) @ (..., 3) -> (..., 3), elementwise."""
+    return jnp.stack(
+        [
+            m[..., 0, 0] * v[..., 0] + m[..., 0, 1] * v[..., 1] + m[..., 0, 2] * v[..., 2],
+            m[..., 1, 0] * v[..., 0] + m[..., 1, 1] * v[..., 1] + m[..., 1, 2] * v[..., 2],
+            m[..., 2, 0] * v[..., 0] + m[..., 2, 1] * v[..., 1] + m[..., 2, 2] * v[..., 2],
+        ],
+        axis=-1,
+    )
+
+
+def mat3_mat3(a, b):
+    """(..., 3, 3) @ (..., 3, 3) -> (..., 3, 3), elementwise."""
+    rows = []
+    for i in range(3):
+        cols = []
+        for j in range(3):
+            cols.append(
+                a[..., i, 0] * b[..., 0, j]
+                + a[..., i, 1] * b[..., 1, j]
+                + a[..., i, 2] * b[..., 2, j]
+            )
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def mat4_point(m, p):
+    """(..., 4, 4) applied to (..., 3) points (w=1) -> (..., 3)."""
+    return jnp.stack(
+        [
+            m[..., i, 0] * p[..., 0]
+            + m[..., i, 1] * p[..., 1]
+            + m[..., i, 2] * p[..., 2]
+            + m[..., i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def mat4_point4(m, p):
+    """(..., 4, 4) applied to (..., 3) points (w=1) -> (..., 4) clip coords."""
+    return jnp.stack(
+        [
+            m[..., i, 0] * p[..., 0]
+            + m[..., i, 1] * p[..., 1]
+            + m[..., i, 2] * p[..., 2]
+            + m[..., i, 3]
+            for i in range(4)
+        ],
+        axis=-1,
+    )
+
+
+def const_mat4_point4(m, x, y, z, w=None):
+    """Constant (4, 4) matrix applied to per-pixel component planes.
+
+    x/y/z[/w] are broadcast-compatible arrays; returns a list of 4 planes.
+    """
+    out = []
+    for i in range(4):
+        acc = m[i, 0] * x + m[i, 1] * y + m[i, 2] * z
+        acc = acc + (m[i, 3] if w is None else m[i, 3] * w)
+        out.append(acc)
+    return out
+
+
+def const_mat_vec(m, v):
+    """Constant (R, C) matrix times (..., C) batch -> (..., R)."""
+    R, C = m.shape
+    cols = [v[..., c] for c in range(C)]
+    return jnp.stack(
+        [sum(float(m[r, c]) * cols[c] for c in range(C)) for r in range(R)],
+        axis=-1,
+    )
+
+
+def compose_mat4(a, b):
+    """(4, 4) @ (N, 4, 4) -> (N, 4, 4) as one real matmul.
+
+    Contraction written as (4,4) @ (4, N*4) so the MXU sees a wide matrix
+    instead of N tiny ones.
+    """
+    n = b.shape[0]
+    wide = jnp.transpose(b, (1, 0, 2)).reshape(4, n * 4)
+    out = (a @ wide).reshape(4, n, 4)
+    return jnp.transpose(out, (1, 0, 2))

@@ -79,8 +79,15 @@ def render_frame(
     enable_cull: bool = True,
     enable_taa: bool = True,
     enable_post: bool = True,
+    mesh=None,
 ):
-    """Full frame. Returns (srgb_image, new_state, new_scene, aux)."""
+    """Full frame. Returns (srgb_image, new_state, new_scene, aux).
+
+    With `mesh` (a jax.sharding.Mesh over the 'rows' axis) the dense
+    per-pixel stages are sharded over screen rows; XLA SPMD inserts the
+    halo collectives for the stencil passes.
+    """
+    from ..parallel import sharding as shard_mod
     # 1. compute_update: animate moving instances on device.
     instances = update_pass.compute_update(
         scene.instances, moving_ids, globals_.time, globals_.dt
@@ -98,14 +105,29 @@ def render_frame(
 
     # 3. visibility raster + G-buffer resolve.
     vis = raster_pass.rasterize(scene.meshes, scene.instances, draws, camera, config)
+    if mesh is not None:
+        vis = vis.replace(
+            tri_id=shard_mod.shard_rows(mesh, vis.tri_id),
+            depth=shard_mod.shard_rows(mesh, vis.depth),
+        )
     gbuffer = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
+    if mesh is not None:
+        gbuffer = gbuffer.replace(
+            normal_uv=shard_mod.shard_rows(mesh, gbuffer.normal_uv),
+            material=shard_mod.shard_rows(mesh, gbuffer.material),
+            depth=shard_mod.shard_rows(mesh, gbuffer.depth),
+        )
 
     # 4. deferred shading (HDR).
     hdr = shading_pass.shade(scene, gbuffer, camera)
+    if mesh is not None:
+        hdr = shard_mod.shard_rows(mesh, hdr)
 
     # 5. TAA (reproject + resolve into history).
     if enable_taa:
         hdr, state = taa_pass.taa(hdr, gbuffer, camera, state)
+        if mesh is not None:
+            hdr = shard_mod.shard_rows(mesh, hdr)
 
     # 6. postprocess (sharpen + tonemap) + sRGB encode (final blit).
     ldr = post_pass.postprocess(hdr) if enable_post else hdr
@@ -131,6 +153,7 @@ class Renderer:
         enable_taa: bool = True,
         enable_post: bool = True,
         moving_ids: Optional[np.ndarray] = None,
+        mesh=None,
     ):
         self.scene = scene
         self.config = config or RasterConfig()
@@ -149,6 +172,7 @@ class Renderer:
                 enable_cull=enable_cull,
                 enable_taa=enable_taa,
                 enable_post=enable_post,
+                mesh=mesh,
             )
         )
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from ..core import mathx
+from ..core import fastmath, mathx
 from ..scene.instance import InstanceData
 from ..scene.mesh import MeshPoolData
 
@@ -41,10 +41,8 @@ def instance_visibility(
 
     center_obj = (mn + mx) * 0.5
     view = jnp.asarray(camera.view)
-    vm = jnp.einsum("ij,njk->nik", view, transform)  # view * transform
-    center = (
-        jnp.einsum("nij,nj->ni", vm[:, :3, :3], center_obj) + vm[:, :3, 3]
-    )  # view-space center
+    vm = fastmath.compose_mat4(view, transform)  # view @ transform, (N,4,4)
+    center = fastmath.mat4_point(vm, center_obj)  # view-space center
 
     scale = mathx.extract_scale(transform, xp=jnp)  # (N, 3)
     max_scale = jnp.max(jnp.abs(scale), axis=-1)

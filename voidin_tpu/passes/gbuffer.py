@@ -34,8 +34,7 @@ class VisBuffer:
 
     tri_id: jnp.ndarray  # (H, W) i32, -1 = background
     depth: jnp.ndarray  # (H, W) f32 reverse-Z
-    # per-work-item triangle setup (T, ...)
-    clip: jnp.ndarray  # (T, 3, 4) ORIGINAL clip-space vertex coords
-    instance: jnp.ndarray  # (T,) i32 instance id
-    idx_start: jnp.ndarray  # (T,) i32 first index-buffer slot of the triangle
+    # Packed per-work-item resolve record (T, 16) f32:
+    # [original clip coords (12), instance id, idx_start, pad(2)]
+    resolve_rec: jnp.ndarray
     overflow: jnp.ndarray  # () i32 count of binning/setup overflows

@@ -1,42 +1,41 @@
-"""Tile-binned software visibility-buffer rasterizer.
+"""Tile-binned software visibility-buffer rasterizer (TPU-first).
 
-This replaces the reference's hardware raster path
-(multi_draw_indexed_indirect + visibility.wgsl) with a TPU-first design.
-There is no rasterizer on a TPU, so the pass is re-architected around dense
-vector math instead of per-primitive hardware state:
+Replaces the reference's hardware raster path (multi_draw_indexed_indirect +
+visibility.wgsl) with a design built around measured TPU cost realities:
 
-  1. **setup** — expand the compact draw list into a capacity-padded stream
-     of triangle work items (prefix-sum + searchsorted, the standard
-     variable-rate expansion under jit), gather + transform vertices with
-     one batched matmul, project to screen, back-face/near-plane cull.
-  2. **bin** — compute each triangle's tile bbox, expand to (triangle, tile)
-     pairs, sort pairs by tile (lax.sort), and scatter into fixed-capacity
-     per-tile lists with *unique* destinations (tile*K + rank) so the
-     scatter is embarrassingly parallel.
-  3. **fine raster** — for every (TILE_H x TILE_W) tile evaluate edge
-     functions for chunks of its binned triangles over all tile pixels at
-     once (pure VPU tensor ops, no divergence), keeping a running
-     (depth, id) winner — reverse-Z max depth test, matching the
-     reference's Greater depth compare (pass/visibility.rs:127-133).
-  4. **resolve** (gbuffer.py consumer) — per-pixel perspective-correct
-     barycentrics from the winning triangle's setup, then attribute fetch.
-     This is the "visibility buffer" deferred-attribute trick: the raster
-     loop touches only positions; fat attributes are fetched exactly once
-     per pixel.
+* gathers are element-RATE bound (~4 ns/row up to ~64 B rows) — so every
+  per-element fetch is ONE wide packed record, never several narrow ones;
+* searchsorted is pathological (a 20-step serial gather chain per query) —
+  variable-rate expansions use scatter-of-boundaries + cummax instead;
+* sorts are cheap (~2 ms/M) — binning sorts (tile, triangle) pairs;
+* the per-pixel depth competition runs in a Pallas kernel
+  (ops/fine_raster.py) with everything VMEM-resident.
 
-Depth semantics: ndc.z (= znear / view_depth with the infinite reverse-Z
-projection) is affine in screen space, so the depth test interpolates it
-with screen-space barycentrics, like hardware.
+Pipeline:
+  1. setup: expand the compact draw stream into triangle work items
+     (scatter+cummax), fetch one 36 B de-indexed corner row + one 64 B
+     matrix row per triangle, transform, near-clip (Sutherland-Hodgman,
+     <=2 tris, extras into the capacity tail), emit one 64 B raster record
+     and one 64 B resolve record per work item.
+  2. binning: per-triangle tile bbox -> (tile, triangle) pair expansion
+     (scatter+cummax) -> sort by tile -> per-tile K-capped lists -> gather
+     raster records into (NT, 16, K) field-major blocks.
+  3. fine raster: Pallas kernel, 8x16-pixel tiles (= one 128-lane vector
+     row), 8 triangles per vector op, dynamic per-tile counts.
+
+Depth semantics: reverse-Z max (Greater compare, pass/visibility.rs:127-133)
+with ndc.z affine in screen space.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
+from ..core import fastmath
+from ..ops import fine_raster as fr
 from ..scene.instance import InstanceData
 from ..scene.mesh import MeshPoolData
 from .cull import DrawList
@@ -49,12 +48,15 @@ NEAR_EPS = 1e-8
 class RasterConfig:
     width: int = 1920
     height: int = 1080
-    tile_h: int = 8
-    tile_w: int = 128
     tri_capacity: int = 1 << 20  # max live triangle work items per frame
-    pair_capacity: int = 1 << 21  # max (triangle, tile) pairs
-    tile_tri_capacity: int = 256  # max triangles rasterized per tile
-    chunk: int = 8  # triangles processed per tile per loop step
+    pair_capacity: int = 1 << 22  # max (triangle, tile) pairs
+    tile_tri_capacity: int = 128  # max triangles rasterized per tile
+    tiles_per_step: int = 8  # Pallas grid batching
+    interpret: bool = False  # Pallas interpret mode (CPU tests)
+    backend: str = "pallas"  # "pallas" | "xla" (sharded dryruns)
+
+    tile_h: int = fr.TILE_H
+    tile_w: int = fr.TILE_W
 
     @property
     def tiles_x(self) -> int:
@@ -69,6 +71,12 @@ class RasterConfig:
         return self.tiles_x * self.tiles_y
 
     @property
+    def n_tiles_padded(self) -> int:
+        t = self.n_tiles
+        s = self.tiles_per_step
+        return -(-t // s) * s
+
+    @property
     def padded_width(self) -> int:
         return self.tiles_x * self.tile_w
 
@@ -77,10 +85,32 @@ class RasterConfig:
         return self.tiles_y * self.tile_h
 
 
+def segment_ids_from_counts(counts: jnp.ndarray, cap: int):
+    """Variable-rate expansion without searchsorted.
+
+    Given per-segment element counts, returns for each stream position
+    e in [0, cap): (segment id, position-within-segment, valid).
+    Cost: one |counts|-sized scatter + two cap-sized cumulative ops.
+    """
+    cum = jnp.cumsum(counts)
+    total = jnp.minimum(cum[-1], cap)
+    starts = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
+    seg_of_start = jnp.arange(counts.shape[0], dtype=jnp.int32)
+    marks = jnp.zeros(cap, jnp.int32)
+    # Empty segments share a start position; max keeps the last (correct)
+    # one. Out-of-range starts (>= cap) are dropped.
+    marks = marks.at[jnp.minimum(starts, cap)].max(seg_of_start, mode="drop")
+    seg = jax.lax.cummax(marks)
+    e = jnp.arange(cap, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones(1, jnp.bool_), seg[1:] != seg[:-1]])
+    start_pos = jax.lax.cummax(jnp.where(is_start, e, 0))
+    local = e - start_pos
+    return seg, local, e < total
+
+
 # ---------------------------------------------------------------------------
 # 1. Triangle setup
 # ---------------------------------------------------------------------------
-
 
 # Near clipping: Vulkan clips 0 <= z_clip <= w_clip. With the infinite
 # reverse-Z projection z_clip = znear (constant), so the z <= w plane IS the
@@ -89,7 +119,7 @@ class RasterConfig:
 
 
 def _project(clip, config: RasterConfig):
-    """Clip-space (,...,4) -> pixel coords + ndc z (y down, uv.wgsl cs_to_uv)."""
+    """Clip-space (..., 4) -> pixel coords + ndc z (y down, uv.wgsl cs_to_uv)."""
     w = clip[..., 3]
     inv_w = 1.0 / jnp.where(jnp.abs(w) > NEAR_EPS, w, NEAR_EPS)
     ndc = clip[..., :3] * inv_w[..., None]
@@ -114,14 +144,7 @@ def triangle_setup(
     camera,
     config: RasterConfig,
 ):
-    """Produce per-work-item triangle screen data (SoA, capacity padded).
-
-    Triangles crossing the near plane are clipped against w = W_CLIP
-    (Sutherland-Hodgman, <= 2 output triangles); second outputs are
-    compacted into the tail of the same capacity array. The *original*
-    clip-space coordinates are kept per work item for perspective-correct
-    attribute resolve via homogeneous barycentrics.
-    """
+    """Per-work-item triangle screen data, packed records, capacity padded."""
     cap = config.tri_capacity
     inst_ids = draws.instance  # (N,) -1 padded
     safe_inst = jnp.maximum(inst_ids, 0)
@@ -131,46 +154,47 @@ def triangle_setup(
         meshes.index_count[mesh_ids] // 3,
         0,
     )  # (N,)
-    cum = jnp.cumsum(n_tris)
-    tri_total = jnp.minimum(cum[-1], cap)
 
-    e = jnp.arange(cap, dtype=jnp.int32)
-    draw_slot = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)  # (T,)
-    draw_slot = jnp.minimum(draw_slot, inst_ids.shape[0] - 1)
-    prev = jnp.where(draw_slot > 0, cum[jnp.maximum(draw_slot - 1, 0)], 0)
-    local_tri = e - prev  # triangle index within the mesh
-    valid = e < tri_total
+    draw_slot, local_tri, valid = segment_ids_from_counts(n_tris, cap)
 
-    inst = jnp.where(valid, inst_ids[draw_slot], 0)
-    mesh = instances.mesh_id[inst]
-    base_index = meshes.base_index[mesh]
-    vofs = meshes.vertex_offset[mesh]
-    idx_start = base_index + 3 * local_tri
+    # One packed per-draw record -> one gather for all draw-level fields.
+    draw_rec = jnp.stack(
+        [
+            safe_inst,
+            meshes.base_index[mesh_ids] // 3,  # triangle-pool base
+            meshes.base_index[mesh_ids],
+        ],
+        axis=-1,
+    )  # (N, 3) i32
+    rec = draw_rec[draw_slot]  # (cap, 3)
+    inst = jnp.where(valid, rec[:, 0], 0)
+    tri_pool = rec[:, 1] + local_tri
+    idx_start = rec[:, 2] + 3 * local_tri
 
-    # Gather the 3 vertex positions (object space).
-    vid = meshes.indices[idx_start[:, None] + jnp.arange(3)[None, :]] + vofs[:, None]
-    pos = meshes.positions[vid]  # (T, 3, 3)
+    # One 36 B de-indexed corner row per triangle.
+    pos = meshes.tri_pos[jnp.where(valid, tri_pool, 0)].reshape(cap, 3, 3)
 
-    # world -> clip: one (4,4) @ per-instance (4,4) then batched transform.
+    # One 64 B matrix row per triangle (mvp precomposed per instance).
     view_proj = jnp.asarray(camera.projection) @ jnp.asarray(camera.view)
-    mvp = jnp.einsum("ij,njk->nik", view_proj, instances.transform)  # (N_inst,4,4)
-    m = mvp[inst]  # (T, 4, 4)
-    clip = (
-        jnp.einsum("tij,tvj->tvi", m[:, :, :3], pos) + m[:, None, :, 3]
-    )  # (T, 3, 4)
+    mvp = fastmath.compose_mat4(view_proj, instances.transform)  # (N_inst,4,4)
+    m = mvp.reshape(-1, 16)[inst].reshape(cap, 4, 4)
+    clip = fastmath.mat4_point4(m[:, None, :, :], pos)  # (cap, 3, 4)
 
     # --- near-plane clipping (s = w - z > 0) ----------------------------
     s_dist = clip[..., 3] - clip[..., 2]
-    is_in = s_dist > 0.0  # (T, 3)
+    is_in = s_dist > 0.0
     n_in = jnp.sum(is_in.astype(jnp.int32), axis=-1)
 
-    # Rotate vertices so the pattern is canonical while preserving winding:
-    # n_in == 1 -> inside vertex at slot 0; n_in == 2 -> outside at slot 2.
     r1 = jnp.argmax(is_in, axis=-1)
     r2 = (jnp.argmax(~is_in, axis=-1) + 1) % 3
     r = jnp.where(n_in == 1, r1, jnp.where(n_in == 2, r2, 0)).astype(jnp.int32)
-    rot_idx = (r[:, None] + jnp.arange(3)[None, :]) % 3  # (T, 3)
-    rclip = jnp.take_along_axis(clip, rot_idx[..., None], axis=1)  # (T, 3, 4)
+    # Branchless rotation: static permutations + dense selects (a dynamic
+    # take_along_axis here would be a 12-element/tri gather — element-rate
+    # bound and ~50 ms/frame at 1M triangles).
+    rot1 = clip[:, jnp.array([1, 2, 0])]
+    rot2 = clip[:, jnp.array([2, 0, 1])]
+    rsel = r[:, None, None]
+    rclip = jnp.where(rsel == 1, rot1, jnp.where(rsel == 2, rot2, clip))
     a, b, c = rclip[:, 0], rclip[:, 1], rclip[:, 2]
 
     def lerp_to_plane(p, q):
@@ -183,7 +207,6 @@ def triangle_setup(
     i_ac = lerp_to_plane(a, c)
     i_bc = lerp_to_plane(b, c)
 
-    # First output triangle per case (0 in -> dead, 3 in -> original).
     tri1 = jnp.where(
         (n_in == 3)[:, None, None],
         clip,
@@ -193,8 +216,7 @@ def triangle_setup(
             jnp.stack([a, i_ab, i_ac], axis=1),
         ),
     )
-    # Second output (only when n_in == 2): (a, i_bc, i_ac).
-    tri2 = jnp.stack([a, i_bc, i_ac], axis=1)
+    tri2 = jnp.stack([a, i_bc, i_ac], axis=1)  # only when n_in == 2
 
     sx1, sy1, z1 = _project(tri1, config)
     sx2, sy2, z2 = _project(tri2, config)
@@ -202,33 +224,60 @@ def triangle_setup(
     needs2 = valid & (n_in == 2)
     alive2 = needs2 & _front_face(sx2, sy2)
 
-    # Compact second triangles into the tail of the capacity arrays.
+    cum = jnp.cumsum(n_tris)
+    tri_total = jnp.minimum(cum[-1], cap)
     extra_rank = jnp.cumsum(needs2.astype(jnp.int32)) - 1
     dest = jnp.where(needs2, tri_total + extra_rank, cap)
     in_cap = dest < cap
-    overflow = jnp.sum((needs2 & ~in_cap).astype(jnp.int32))
-    dest = jnp.where(in_cap, dest, cap + e)  # unique OOB slots, dropped
+    overflow = jnp.maximum(cum[-1] - cap, 0) + jnp.sum(
+        (needs2 & ~in_cap).astype(jnp.int32)
+    )
+    e = jnp.arange(cap, dtype=jnp.int32)
+    dest = jnp.where(in_cap, dest, cap + e)
 
-    def scatter(base_arr, extra_vals):
-        return base_arr.at[dest].set(extra_vals, mode="drop", unique_indices=True)
+    # Pack records FIRST, then compact the clipped extras with two
+    # row-scatters (scatters, like gathers, are row-rate bound: packing 16
+    # fields per row costs ~the same as one thin scatter).
+    def pack_raster(sxv, syv, zv, alivev):
+        idf = jnp.where(alivev, e.astype(jnp.float32), -1.0)
+        return jnp.concatenate(
+            [
+                sxv,
+                syv,
+                zv,
+                idf[:, None],
+                jnp.zeros((cap, fr.RECORD_F - 10), jnp.float32),
+            ],
+            axis=-1,
+        )
 
-    sx = scatter(sx1, sx2)
-    sy = scatter(sy1, sy2)
-    z = scatter(z1, z2)
-    alive = scatter(alive1, alive2)
-    inst_out = scatter(inst.astype(jnp.int32), inst.astype(jnp.int32))
-    idx_out = scatter(idx_start.astype(jnp.int32), idx_start.astype(jnp.int32))
-    clip_out = scatter(clip, clip)  # resolve uses ORIGINAL clip coords
+    rec1 = pack_raster(sx1, sy1, z1, alive1)
+    rec2 = pack_raster(sx2, sy2, z2, alive2)
+    raster_rec = rec1.at[dest].set(rec2, mode="drop", unique_indices=True)
+
+    # Resolve record: ORIGINAL clip coords + instance + idx_start as f32
+    # (exact for values < 2^24; asserted at scene build).
+    resolve_rec = jnp.concatenate(
+        [
+            clip.reshape(cap, 12),
+            inst.astype(jnp.float32)[:, None],
+            idx_start.astype(jnp.float32)[:, None],
+            jnp.zeros((cap, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    resolve_rec = resolve_rec.at[dest].set(resolve_rec, mode="drop", unique_indices=True)
 
     work_total = jnp.minimum(tri_total + jnp.sum(needs2.astype(jnp.int32)), cap)
+    sx = raster_rec[:, fr.F_SX : fr.F_SX + 3]
+    sy = raster_rec[:, fr.F_SY : fr.F_SY + 3]
+
     return dict(
         sx=sx,
         sy=sy,
-        z=z,
-        clip=clip_out,
-        instance=inst_out,
-        idx_start=idx_out,
-        alive=alive,
+        alive=raster_rec[:, fr.F_ID] >= 0.0,
+        raster_rec=raster_rec,
+        resolve_rec=resolve_rec,
         tri_total=work_total,
         setup_overflow=overflow,
     )
@@ -240,9 +289,9 @@ def triangle_setup(
 
 
 def bin_triangles(setup: dict, config: RasterConfig):
-    """(triangle, tile) pair expansion -> per-tile fixed-capacity lists."""
+    """(tri, tile) pairs -> per-tile field-major record blocks + counts."""
     TX, TY = config.tiles_x, config.tiles_y
-    NT = config.n_tiles
+    NT = config.n_tiles_padded
     K = config.tile_tri_capacity
     E = config.pair_capacity
 
@@ -259,128 +308,133 @@ def bin_triangles(setup: dict, config: RasterConfig):
     ty0 = jnp.clip(y0.astype(jnp.int32) // config.tile_h, 0, TY - 1)
     ty1 = jnp.clip(y1.astype(jnp.int32) // config.tile_h, 0, TY - 1)
     bw = tx1 - tx0 + 1
-    bh = ty1 - ty0 + 1
-    n_pairs = jnp.where(alive, bw * bh, 0)  # (T,)
+    n_pairs = jnp.where(alive, bw * (ty1 - ty0 + 1), 0)
 
+    # Packed bbox record: one gather at pair-expansion time.
+    bbox_rec = jnp.stack([tx0, ty0, bw], axis=-1)  # (cap, 3) i32
+
+    tri, local, pair_valid = segment_ids_from_counts(n_pairs, E)
     cum = jnp.cumsum(n_pairs)
-    total_pairs = jnp.minimum(cum[-1], E)
     overflow = jnp.maximum(cum[-1] - E, 0)
 
-    e = jnp.arange(E, dtype=jnp.int32)
-    tri = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    tri = jnp.minimum(tri, n_pairs.shape[0] - 1)
-    prev = jnp.where(tri > 0, cum[jnp.maximum(tri - 1, 0)], 0)
-    local = e - prev
-    pair_valid = e < total_pairs
+    br = bbox_rec[tri]  # (E, 3)
+    tile = (br[:, 1] + local // br[:, 2]) * TX + (br[:, 0] + local % br[:, 2])
+    tile = jnp.where(pair_valid, tile, NT)
 
-    tile = (ty0[tri] + local // bw[tri]) * TX + (tx0[tri] + local % bw[tri])
-    tile = jnp.where(pair_valid, tile, NT)  # invalid pairs sort to the end
-
-    # Sort pairs by tile; rank within tile gives a unique scatter slot.
     tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, tri)
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(NT, dtype=jnp.int32)).astype(
-        jnp.int32
-    )
-    rank = jnp.arange(E, dtype=jnp.int32) - starts[jnp.minimum(tile_sorted, NT - 1)]
-    in_cap = (rank < K) & (tile_sorted < NT)
-    overflow = overflow + jnp.sum(jnp.where((rank >= K) & (tile_sorted < NT), 1, 0))
 
-    # Out-of-cap writes land past the end (dropped); offset by e to keep the
-    # unique_indices promise airtight.
+    # Rank within tile without gathers: segment-start positions via cummax.
+    e = jnp.arange(E, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), tile_sorted[1:] != tile_sorted[:-1]]
+    )
+    start_pos = jax.lax.cummax(jnp.where(is_start, e, 0))
+    rank = e - start_pos
+    in_cap = (rank < K) & (tile_sorted < NT)
+    overflow = overflow + jnp.sum((rank >= K) & (tile_sorted < NT), dtype=jnp.int32)
+
     dest = jnp.where(in_cap, tile_sorted * K + rank, NT * K + e)
     tile_tris = jnp.full((NT * K,), -1, jnp.int32)
     tile_tris = tile_tris.at[dest].set(tri_sorted, mode="drop", unique_indices=True)
-    return tile_tris.reshape(NT, K), overflow
+    tile_tris = tile_tris.reshape(NT, K)
 
+    counts = jnp.searchsorted(
+        tile_sorted, jnp.arange(1, NT + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32) - jnp.searchsorted(
+        tile_sorted, jnp.arange(NT, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = jnp.minimum(counts, K)
 
-# ---------------------------------------------------------------------------
-# 3. Fine raster
-# ---------------------------------------------------------------------------
-
-
-def _tile_pixel_coords(config: RasterConfig):
-    """Global pixel-center coordinates per tile: (NT, PX) x and y."""
-    TX = config.tiles_x
-    th, tw = config.tile_h, config.tile_w
-    t = jnp.arange(config.n_tiles, dtype=jnp.int32)
-    tile_x0 = (t % TX) * tw
-    tile_y0 = (t // TX) * th
-    py, px = jnp.meshgrid(
-        jnp.arange(th, dtype=jnp.float32), jnp.arange(tw, dtype=jnp.float32),
-        indexing="ij",
+    # Gather packed raster records -> field-major (NT, RECORD_F, K).
+    rec = setup["raster_rec"]
+    safe = jnp.maximum(tile_tris, 0)
+    blocks = rec[safe.reshape(-1)].reshape(NT, K, fr.RECORD_F)
+    # Invalidate empty slots via the id field.
+    blocks = blocks.at[:, :, fr.F_ID].set(
+        jnp.where(tile_tris >= 0, blocks[:, :, fr.F_ID], -1.0)
     )
-    x = tile_x0[:, None].astype(jnp.float32) + (px.reshape(-1)[None, :] + 0.5)
-    y = tile_y0[:, None].astype(jnp.float32) + (py.reshape(-1)[None, :] + 0.5)
-    return x, y  # (NT, PX)
+    return blocks, counts, overflow  # (NT, K, RECORD_F)
 
 
-def fine_raster(setup: dict, tile_tris: jnp.ndarray, config: RasterConfig):
-    """Per-tile chunked depth/id competition. Returns (H', W') id + depth."""
-    NT, K = tile_tris.shape
+# ---------------------------------------------------------------------------
+# 3. Fine raster + assembly
+# ---------------------------------------------------------------------------
+
+
+def fine_raster_xla(records, counts, config: RasterConfig):
+    """Pure-XLA reference fine raster over the same record blocks.
+
+    Used where a Pallas kernel cannot run (SPMD-sharded dryruns) and as the
+    oracle twin for the kernel. Semantics identical to ops/fine_raster.py.
+    """
+    NT, K, F = records.shape
     PX = config.tile_h * config.tile_w
-    C = config.chunk
+    t = jnp.arange(NT, dtype=jnp.int32)
+    lane = jnp.arange(PX, dtype=jnp.float32)
+    lx = jnp.mod(lane, config.tile_w)
+    ly = jnp.floor(lane / config.tile_w)
+    px = (t % config.tiles_x)[:, None] * config.tile_w + lx[None, :] + 0.5
+    py = (t // config.tiles_x)[:, None] * config.tile_h + ly[None, :] + 0.5
+    px = px[:, None, :]  # (NT, 1, PX)
+    py = py[:, None, :]
 
-    sx, sy, z = setup["sx"], setup["sy"], setup["z"]
-    px, py = _tile_pixel_coords(config)  # (NT, PX)
+    G = fr.TRI_GROUP
 
-    def body(i, carry):
-        depth_buf, id_buf = carry  # (NT, PX)
-        ids = jax.lax.dynamic_slice(tile_tris, (0, i * C), (NT, C))  # (NT, C)
-        ok = ids >= 0
-        safe = jnp.maximum(ids, 0)
-        tsx = sx[safe]  # (NT, C, 3)
-        tsy = sy[safe]
-        tz = z[safe]
+    def body(g, carry):
+        best_d, best_i = carry
+        blk = jax.lax.dynamic_slice(records, (0, g * G, 0), (NT, G, F))
 
-        # Edge functions at pixel centers: e_k = cross(p - v_k, v_{k+1} - v_k).
-        # Front faces are negatively oriented in y-down pixel space, which
-        # makes e_k >= 0 inside; inclusive to avoid cracks on shared edges.
-        dx = px[:, None, :, None] - tsx[:, :, None, :]  # (NT, C, PX, 3)
-        dy = py[:, None, :, None] - tsy[:, :, None, :]
-        ex = tsx[:, :, None, jnp.array([1, 2, 0])] - tsx[:, :, None, :]
-        ey = tsy[:, :, None, jnp.array([1, 2, 0])] - tsy[:, :, None, :]
-        e = dx * ey - dy * ex  # (NT, C, PX, 3)
-        inside = jnp.all(e >= 0.0, axis=-1)  # (NT, C, PX)
+        def fld(f):
+            return blk[:, :, f][:, :, None]  # (NT, G, 1)
 
-        # Screen-space barycentrics for depth (affine in screen space).
-        # lambda_k proportional to the edge function opposite vertex k;
-        # their sum is |2*area|.
-        area2 = e[..., 0] + e[..., 1] + e[..., 2]
-        lam0 = e[..., 1]  # edge v1->v2 opposite v0
-        lam1 = e[..., 2]
-        lam2 = e[..., 0]
-        inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-20, area2, 1e-20)
-        depth = (
-            lam0 * tz[:, :, None, 0] + lam1 * tz[:, :, None, 1] + lam2 * tz[:, :, None, 2]
-        ) * inv_area  # (NT, C, PX)
+        sx0, sx1, sx2 = fld(fr.F_SX), fld(fr.F_SX + 1), fld(fr.F_SX + 2)
+        sy0, sy1, sy2 = fld(fr.F_SY), fld(fr.F_SY + 1), fld(fr.F_SY + 2)
+        z0, z1, z2 = fld(fr.F_Z), fld(fr.F_Z + 1), fld(fr.F_Z + 2)
+        idf = fld(fr.F_ID)
+        in_count = (g * G + jnp.arange(G))[None, :, None] < counts[:, None, None]
 
-        cand = jnp.where(inside & ok[:, :, None], depth, -1.0)
-        best = jnp.max(cand, axis=1)  # (NT, PX)
-        best_i = jnp.argmax(cand, axis=1)  # (NT, PX)
-        best_id = jnp.take_along_axis(ids, best_i, axis=1)
+        e0 = (px - sx0) * (sy1 - sy0) - (py - sy0) * (sx1 - sx0)
+        e1 = (px - sx1) * (sy2 - sy1) - (py - sy1) * (sx2 - sx1)
+        e2 = (px - sx2) * (sy0 - sy2) - (py - sy2) * (sx0 - sx2)
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (idf >= 0) & in_count
+        ssum = e0 + e1 + e2
+        inv = 1.0 / jnp.where(jnp.abs(ssum) > 1e-20, ssum, 1e-20)
+        depth = (e1 * z0 + e2 * z1 + e0 * z2) * inv
+        cand = jnp.where(inside, depth, -1.0)
+        gmax = jnp.max(cand, axis=1)  # (NT, PX)
+        gid = jnp.max(jnp.where(cand == gmax[:, None, :], idf, -1.0), axis=1)
+        take = gmax > best_d
+        return jnp.where(take, gmax, best_d), jnp.where(take, gid, best_i)
 
-        take = best > depth_buf
-        return jnp.where(take, best, depth_buf), jnp.where(take, best_id, id_buf)
+    init = (jnp.zeros((NT, PX), jnp.float32), jnp.full((NT, PX), -1.0))
+    return jax.lax.fori_loop(0, K // G, body, init)
 
-    depth0 = jnp.zeros((NT, PX), jnp.float32)  # reverse-Z clear = 0 (far)
-    id0 = jnp.full((NT, PX), -1, jnp.int32)
-    depth_buf, id_buf = jax.lax.fori_loop(0, K // C, body, (depth0, id0))
 
-    # Un-tile to (H', W').
+def fine_raster(records, counts, config: RasterConfig, backend: str = "pallas"):
+    if backend == "xla":
+        depth, trif = fine_raster_xla(records, counts, config)
+    else:
+        depth, trif = fr.fine_raster_pallas(
+            records,
+            counts,
+            tiles_x=config.tiles_x,
+            tiles_per_step=config.tiles_per_step,
+            interpret=config.interpret,
+        )
+    NT = config.n_tiles
     TY, TX = config.tiles_y, config.tiles_x
     th, tw = config.tile_h, config.tile_w
 
     def untile(a):
         return (
-            a.reshape(TY, TX, th, tw).transpose(0, 2, 1, 3).reshape(TY * th, TX * tw)
+            a[:NT]
+            .reshape(TY, TX, th, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(TY * th, TX * tw)
         )
 
-    return untile(id_buf), untile(depth_buf)
-
-
-# ---------------------------------------------------------------------------
-# Full pass
-# ---------------------------------------------------------------------------
+    tri_id = untile(trif).astype(jnp.int32)
+    return untile(depth), tri_id
 
 
 def rasterize(
@@ -391,14 +445,12 @@ def rasterize(
     config: RasterConfig,
 ) -> VisBuffer:
     setup = triangle_setup(meshes, instances, draws, camera, config)
-    tile_tris, overflow = bin_triangles(setup, config)
-    tri_id, depth = fine_raster(setup, tile_tris, config)
+    records, counts, overflow = bin_triangles(setup, config)
+    depth, tri_id = fine_raster(records, counts, config, backend=config.backend)
     H, W = config.height, config.width
     return VisBuffer(
         tri_id=tri_id[:H, :W],
         depth=depth[:H, :W],
-        clip=setup["clip"],
-        instance=setup["instance"],
-        idx_start=setup["idx_start"],
+        resolve_rec=setup["resolve_rec"],
         overflow=overflow + setup["setup_overflow"],
     )

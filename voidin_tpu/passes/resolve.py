@@ -4,16 +4,20 @@ The reference's raster fragment shader (shaders/visibility.wgsl:66-97)
 interpolates normal/tangent/uv per fragment, samples the normal map, applies
 the alpha cutoff, and writes the packed G-buffer. Our rasterizer emits only
 (triangle id, depth); this pass recomputes perspective-correct barycentrics
-per *winning* pixel and evaluates the same attribute math densely over the
-image — each G-buffer pixel is touched exactly once.
+per winning pixel and evaluates the same attribute math densely.
+
+Gather budget (TPU gathers are ~4-6 ns/row): per pixel this pass issues
+exactly 6 row-gathers — the packed resolve record (clip + ids), 3
+de-indexed corner-attribute rows, one instance record (basis + material),
+one packed material record — plus the texture taps.
 
 Contract reproduced exactly:
-* normal matrix is the upper-left 3x3 of the instance transform (not the
-  inverse transpose) — visibility.wgsl:43-46;
+* normal matrix = upper-left 3x3 of the instance transform (not inverse
+  transpose) — visibility.wgsl:43-46;
 * bitangent = cross(normal, tangent) * tangent.w — visibility.wgsl:47;
 * normal map applied iff material.normal != 0 (WHITE) — visibility.wgsl:83-89;
-* alpha cutoff: base_color.w < 0.5 || albedo.a < 0.5 discards
-  (visibility.wgsl:79-81) — here the pixel reverts to background;
+* alpha cutoff: base_color.w < 0.5 || albedo.a < 0.5 -> background
+  (visibility.wgsl:79-81);
 * G-buffer = (octahedral normal u32, pack2x16float uv, material id, depth).
 """
 
@@ -21,86 +25,96 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core import encoding
+from ..core import encoding, fastmath
 from ..scene.scene import SceneData
 from ..scene.texture import sample_trilinear
 from .gbuffer import GBuffer, VisBuffer
+from .shading import uv_lod
 
 
 def _normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
 
 
-def resolve_gbuffer(
-    scene: SceneData, vis: VisBuffer, camera, config
-) -> GBuffer:
+def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config) -> GBuffer:
     H, W = vis.depth.shape
     tid = jnp.maximum(vis.tri_id, 0)
     hit = vis.tri_id >= 0
 
-    inst = vis.instance[tid]  # (H, W)
-    idx_start = vis.idx_start[tid]
-    meshes = scene.meshes
-    mesh = scene.instances.mesh_id[inst]
-    vofs = meshes.vertex_offset[mesh]
-    vid = meshes.indices[idx_start[..., None] + jnp.arange(3)] + vofs[..., None]
+    # Gather 1: packed resolve record.
+    rec = vis.resolve_rec[tid]  # (H, W, 16)
+    cl = rec[..., :12].reshape(H, W, 3, 4)
+    inst = rec[..., 12].astype(jnp.int32)
+    tri_pool = (rec[..., 13] / 3.0).astype(jnp.int32)  # idx_start / 3
 
-    # Perspective-correct barycentrics via 2D homogeneous coordinates
-    # (Olano & Greer style): for NDC pixel (x, y) and clip-space vertices
-    # c_i, affine weights b satisfy sum b_i (c_i.x - x c_i.w) = 0 and
-    # sum b_i (c_i.y - y c_i.w) = 0 => b ∝ cross(u, v). Works for triangles
-    # crossing the near plane (no screen coords involved).
+    # Perspective-correct barycentrics via 2D homogeneous coordinates:
+    # b ∝ cross(u, v) with u_i = c_i.x - x*c_i.w, v_i = c_i.y - y*c_i.w.
     x_ndc = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0)[None, :]
     y_ndc = (1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0)[:, None]
-    cl = vis.clip[tid]  # (H, W, 3, 4)
     u = cl[..., 0] - x_ndc[..., None] * cl[..., 3]  # (H, W, 3)
     v = cl[..., 1] - y_ndc[..., None] * cl[..., 3]
-    b = jnp.cross(u, v)  # (H, W, 3)
+    b = jnp.cross(u, v)
     bsum = jnp.sum(b, axis=-1, keepdims=True)
     sign = jnp.where(bsum < 0, -1.0, 1.0)
-    b = b * sign
-    bsum = bsum * sign
-    lam_p = b / jnp.maximum(bsum, 1e-20)
+    lam_p = b * sign / jnp.maximum(bsum * sign, 1e-20)  # (H, W, 3)
 
-    def interp(attr):  # attr: (V, C) -> (H, W, C)
-        vals = attr[vid]  # (H, W, 3, C)
-        return jnp.einsum("hwvc,hwv->hwc", vals, lam_p)
+    # Gathers 2-4: corner attributes [normal(3), tangent(4), uv(2)].
+    a0 = scene.meshes.tri_attr0[tri_pool]  # (H, W, 12)
+    a1 = scene.meshes.tri_attr1[tri_pool]
+    a2 = scene.meshes.tri_attr2[tri_pool]
+    attr = (
+        a0 * lam_p[..., 0:1] + a1 * lam_p[..., 1:2] + a2 * lam_p[..., 2:3]
+    )  # interpolated
+    normal_raw = attr[..., 0:3]
+    tangent_raw = attr[..., 3:6]
+    tangent_w = attr[..., 6]
+    uv = attr[..., 7:9]
 
-    normal_raw = interp(meshes.normals)
-    tangent4 = meshes.tangents[vid]  # (H, W, 3, 4)
-    tangent_raw = jnp.einsum("hwvc,hwv->hwc", tangent4[..., :3], lam_p)
-    tangent_w = jnp.einsum("hwv,hwv->hw", tangent4[..., 3], lam_p)
-    uv = interp(meshes.uvs)
+    # Gather 5: per-instance record (transform basis + ids), built densely
+    # from the live instance pool each frame.
+    n_inst = scene.instances.count
+    inst_rec = jnp.concatenate(
+        [
+            scene.instances.transform[:, :3, :3].reshape(n_inst, 9),
+            scene.instances.material_id.astype(jnp.float32)[:, None],
+            jnp.zeros((n_inst, 6), jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, 16)
+    irec = inst_rec[inst]  # (H, W, 16)
+    basis = irec[..., :9].reshape(H, W, 3, 3)
+    material_id = irec[..., 9].astype(jnp.int32)
 
     # Object -> world with the plain upper 3x3 (reference parity).
-    basis = scene.instances.transform[inst][..., :3, :3]  # (H, W, 3, 3)
-    n_ws = jnp.einsum("hwij,hwj->hwi", basis, normal_raw)
-    t_ws = jnp.einsum("hwij,hwj->hwi", basis, tangent_raw)
+    n_ws = fastmath.mat3_vec(basis, normal_raw)
+    t_ws = fastmath.mat3_vec(basis, tangent_raw)
     b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
 
-    material_id = scene.instances.material_id[inst]  # (H, W)
-    mat_normal = scene.materials.normal[material_id]
-    mat_albedo = scene.materials.albedo[material_id]
-    base_color_a = scene.materials.base_color[material_id][..., 3]
+    # Gather 6: packed material record [albedo, normal, mr, emissive, bc4].
+    mats = scene.materials
+    mat_rec = jnp.concatenate(
+        [
+            mats.albedo.astype(jnp.float32)[:, None],
+            mats.normal.astype(jnp.float32)[:, None],
+            mats.metallic_roughness.astype(jnp.float32)[:, None],
+            mats.emissive.astype(jnp.float32)[:, None],
+            mats.base_color,
+        ],
+        axis=-1,
+    )  # (K, 8)
+    mrec = mat_rec[material_id]
+    mat_albedo = mrec[..., 0].astype(jnp.int32)
+    mat_normal = mrec[..., 1].astype(jnp.int32)
+    base_color_a = mrec[..., 7]
 
-    # Mip LOD from screen-space uv derivatives (finite differences stand in
-    # for the raster's implicit quad derivatives).
+    # Mip LOD from screen-space uv derivatives.
     tex_w = scene.textures.size[mat_albedo][..., 0].astype(jnp.float32)
     tex_h = scene.textures.size[mat_albedo][..., 1].astype(jnp.float32)
-    du = jnp.diff(uv, axis=1, append=uv[:, -1:, :])
-    dv = jnp.diff(uv, axis=0, append=uv[-1:, :, :])
-    # guard against seams: derivative magnitude clamped
-    rho = jnp.maximum(
-        jnp.abs(du[..., 0]) * tex_w + jnp.abs(du[..., 1]) * tex_h,
-        jnp.abs(dv[..., 0]) * tex_w + jnp.abs(dv[..., 1]) * tex_h,
-    )
-    lod = jnp.where(rho > 1e-8, jnp.log2(jnp.maximum(rho, 1e-8)), 0.0)
-    lod = jnp.clip(lod, 0.0, 16.0)
+    lod = uv_lod(uv, tex_w, tex_h)
 
     albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
     normal_tex = sample_trilinear(scene.textures, mat_normal, uv, lod)
 
-    # Shading normal: normal map via per-pixel TBN when assigned.
     n_geo = _normalize(n_ws)
     tbn_t = _normalize(t_ws)
     tbn_b = _normalize(b_ws)
@@ -112,7 +126,6 @@ def resolve_gbuffer(
     use_map = (mat_normal != 0)[..., None]
     normal = _normalize(jnp.where(use_map, mapped, n_geo))
 
-    # Alpha cutoff (visibility.wgsl:79-81).
     cut = (base_color_a < 0.5) | (albedo[..., 3] < 0.5)
     keep = hit & ~cut
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core import encoding
+from ..core import encoding, fastmath
 from ..scene.material import LIGHT_MATERIAL
 from ..scene.scene import SceneData
 from ..scene.texture import sample_lut_bilinear, sample_trilinear
@@ -47,7 +47,8 @@ def world_position_from_depth(depth: jnp.ndarray, clip_to_world) -> jnp.ndarray:
     clip = jnp.stack(
         [x_ndc, y_ndc, depth, jnp.ones_like(depth)], axis=-1
     )  # (H, W, 4)
-    world = jnp.einsum("ij,hwj->hwi", m, clip)
+    wx, wy, wz, ww = fastmath.const_mat4_point4(m, x_ndc, y_ndc, depth)
+    world = jnp.stack([wx, wy, wz, ww], axis=-1)
     # depth == 0 (background, infinite far) gives w == 0: clamp so the
     # position is a huge-but-finite point and downstream light math stays
     # NaN-free (attenuation evaluates to 0 there).
@@ -121,10 +122,13 @@ def ltc_evaluate_rect(scene: SceneData, nor, view, pos, mminv, points, two_sided
     t2v = jnp.cross(nor, t1v)
     # minv = mminv @ transpose(mat3(T1, T2, N)): rows T1, T2, N.
     basis = jnp.stack([t1v, t2v, nor], axis=-2)  # (..., 3, 3) rows
-    minv = jnp.einsum("...ij,...jk->...ik", mminv, basis)
+    minv = fastmath.mat3_mat3(mminv, basis)
 
-    L = jnp.einsum("...ij,...pj->...pi", minv, points[..., None, :, :] - pos[..., None, :])
-    Ln = _normalize(L)
+    rel = points[..., None, :, :] - pos[..., None, :]  # (..., 4, 3)
+    Ln = jnp.stack(
+        [_normalize(fastmath.mat3_vec(minv, rel[..., p, :])) for p in range(4)],
+        axis=-2,
+    )
 
     direction = points[..., 0, :] - pos  # (..., 3)
     light_normal = jnp.cross(

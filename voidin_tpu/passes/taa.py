@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import fastmath
 from ..core.color import rgb_to_ycbcr, ycbcr_to_rgb
 from .shading import world_position_from_depth
 
@@ -116,8 +117,10 @@ def reproject(gbuffer, camera) -> jnp.ndarray:
 
     pos_ws = world_position_from_depth(d, camera.clip_to_world)
     m = jnp.asarray(camera.prev_world_to_clip)
-    prev = jnp.einsum("ij,hwj->hwi", m[:, :3], pos_ws) + m[:, 3]
-    prev_ndc = prev[..., :2] / prev[..., 3:4]
+    px_, py_, pz_, pw_ = fastmath.const_mat4_point4(
+        m, pos_ws[..., 0], pos_ws[..., 1], pos_ws[..., 2]
+    )
+    prev_ndc = jnp.stack([px_ / pw_, py_ / pw_], axis=-1)
 
     jit = jnp.asarray(camera.jitter)
     pjit = jnp.asarray(camera.prev_jitter)

@@ -25,7 +25,19 @@ def compute_update(
     angle = speed * sign * dt
     rotz = mathx.from_rotation_z(angle, xp=jnp)  # (4, 4, M)
     rotz = jnp.moveaxis(rotz, -1, 0) if rotz.ndim == 3 else rotz[None]
-    new_t = jnp.einsum("mij,mjk->mik", rotz, t)
+    new_t = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    sum(rotz[:, i, k] * t[:, k, j] for k in range(4))
+                    for j in range(4)
+                ],
+                axis=-1,
+            )
+            for i in range(4)
+        ],
+        axis=-2,
+    )
     new_transform = instances.transform.at[moving_ids].set(new_t)
     new_inv = instances.inv_transform.at[moving_ids].set(jnp.linalg.inv(new_t))
     return instances.replace(transform=new_transform, inv_transform=new_inv)

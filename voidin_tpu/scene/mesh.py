@@ -156,6 +156,17 @@ class MeshPoolData:
     bvh_max: jnp.ndarray  # (B, 3) f32
     bvh_left_first: jnp.ndarray  # (B,) i32
     bvh_count: jnp.ndarray  # (B,) i32
+    # De-indexed triangle corner positions (T_pool, 9): one 36-byte row per
+    # triangle [x0 y0 z0 x1 y1 z1 x2 y2 z2]. TPU gathers are element-rate
+    # bound (~4ns/row regardless of width), so the raster setup fetches one
+    # wide row per triangle instead of 3 index + 3 position gathers.
+    tri_pos: jnp.ndarray  # (T_pool, 9) f32
+    # De-indexed per-corner attributes, one row per triangle per corner:
+    # [normal(3), tangent(4), uv(2), pad(3)] — G-buffer resolve fetches 3
+    # rows per pixel instead of 3 index + 9 attribute gathers.
+    tri_attr0: jnp.ndarray  # (T_pool, 12) f32
+    tri_attr1: jnp.ndarray  # (T_pool, 12) f32
+    tri_attr2: jnp.ndarray  # (T_pool, 12) f32
 
 
 class MeshPool:
@@ -235,6 +246,44 @@ class MeshPool:
             bvh_max=np.ascontiguousarray(nodes["max"]),
             bvh_left_first=np.ascontiguousarray(nodes["left_first"]),
             bvh_count=np.ascontiguousarray(nodes["count"]),
+            tri_pos=self._tri_pos(),
+            **self._tri_attrs(),
+        )
+
+    def _tri_attrs(self) -> dict:
+        outs = {0: [], 1: [], 2: []}
+        for verts, normals, tangents, uvs, idx in zip(
+            self.positions, self.normals, self.tangents, self.uvs, self.indices
+        ):
+            tri = idx.reshape(-1, 3)
+            for k in range(3):
+                vid = tri[:, k]
+                row = np.concatenate(
+                    [
+                        normals[vid],
+                        tangents[vid],
+                        uvs[vid],
+                        np.zeros((len(vid), 3), np.float32),
+                    ],
+                    axis=-1,
+                )
+                outs[k].append(row.astype(np.float32))
+        return {
+            f"tri_attr{k}": (
+                np.concatenate(v) if v else np.zeros((0, 12), np.float32)
+            )
+            for k, v in outs.items()
+        }
+
+    def _tri_pos(self) -> np.ndarray:
+        rows = []
+        for verts, idx, info in zip(self.positions, self.indices, self.mesh_info):
+            corners = verts[idx.reshape(-1, 3)]  # (t, 3, 3) mesh-local
+            rows.append(corners.reshape(-1, 9))
+        return (
+            np.concatenate(rows).astype(np.float32)
+            if rows
+            else np.zeros((0, 9), np.float32)
         )
 
     def device(self) -> MeshPoolData:
