@@ -110,7 +110,7 @@ def render_frame(
             tri_id=shard_mod.shard_rows(mesh, vis.tri_id),
             depth=shard_mod.shard_rows(mesh, vis.depth),
         )
-    gbuffer = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
+    gbuffer, albedo = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
     if mesh is not None:
         gbuffer = gbuffer.replace(
             normal_uv=shard_mod.shard_rows(mesh, gbuffer.normal_uv),
@@ -119,7 +119,7 @@ def render_frame(
         )
 
     # 4. deferred shading (HDR).
-    hdr = shading_pass.shade(scene, gbuffer, camera)
+    hdr = shading_pass.shade(scene, gbuffer, camera, albedo=albedo)
     if mesh is not None:
         hdr = shard_mod.shard_rows(mesh, hdr)
 

@@ -138,8 +138,14 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config) -> GBuffer
         ],
         axis=-1,
     )
-    return GBuffer(
+    gbuffer = GBuffer(
         normal_uv=normal_uv,
         material=jnp.where(keep, material_id, 0).astype(jnp.int32),
         depth=jnp.where(keep, vis.depth, 0.0),
     )
+    # The shading pass samples the albedo at the same uv/lod
+    # (shading.wgsl:58); hand it over instead of re-gathering. Background /
+    # cut pixels revert to the material-0 WHITE lookup the reference would
+    # produce from its cleared G-buffer.
+    aux_albedo = jnp.where(keep[..., None], albedo, jnp.ones_like(albedo))
+    return gbuffer, aux_albedo

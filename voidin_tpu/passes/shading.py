@@ -44,9 +44,6 @@ def world_position_from_depth(depth: jnp.ndarray, clip_to_world) -> jnp.ndarray:
     x_ndc = (u * 2.0 - 1.0)[None, :].repeat(H, 0)
     y_ndc = ((1.0 - v) * 2.0 - 1.0)[:, None].repeat(W, 1)
     m = jnp.asarray(clip_to_world)
-    clip = jnp.stack(
-        [x_ndc, y_ndc, depth, jnp.ones_like(depth)], axis=-1
-    )  # (H, W, 4)
     wx, wy, wz, ww = fastmath.const_mat4_point4(m, x_ndc, y_ndc, depth)
     world = jnp.stack([wx, wy, wz, ww], axis=-1)
     # depth == 0 (background, infinite far) gives w == 0: clamp so the
@@ -100,8 +97,8 @@ def ltc_matrix(scene: SceneData, nor, view, roughness):
     ndotv = jnp.clip(jnp.sum(nor * view, axis=-1), 0.0, 1.0)
     uv = jnp.stack([roughness, jnp.sqrt(1.0 - ndotv)], axis=-1)
     uv = uv * LUT_SCALE + LUT_BIAS
-    t1 = sample_lut_bilinear(scene.ltc1, uv)  # (..., 4)
-    t2 = sample_lut_bilinear(scene.ltc2, uv)
+    t1 = sample_lut_bilinear(scene.ltc1_quads, 64, uv)  # (..., 4)
+    t2 = sample_lut_bilinear(scene.ltc2_quads, 64, uv)
     # WGSL columns (t1.x,0,t1.y),(0,1,0),(t1.z,0,t1.w) -> row-major matrix.
     zero = jnp.zeros_like(t1[..., 0])
     one = jnp.ones_like(zero)
@@ -146,32 +143,50 @@ def ltc_evaluate_rect(scene: SceneData, nor, view, pos, mminv, points, two_sided
     z = vsum[..., 2] / jnp.maximum(length, 1e-20)
     z = jnp.where(behind, -z, z)
     uv = jnp.stack([z * 0.5 + 0.5, length], axis=-1) * LUT_SCALE + LUT_BIAS
-    scale = sample_lut_bilinear(scene.ltc2, uv)[..., 3]
+    scale = sample_lut_bilinear(scene.ltc2_quads, 64, uv)[..., 3]
     total = length * scale
     if not two_sided:
         total = jnp.where(behind, 0.0, total)
     return total  # (...,) scalar irradiance (vec3 splat in WGSL)
 
 
-def shade(scene: SceneData, gbuffer: GBuffer, camera) -> jnp.ndarray:
-    """G-buffer -> (H, W, 3) HDR color."""
+def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarray:
+    """G-buffer -> (H, W, 3) HDR color.
+
+    `albedo`: optional pre-filtered albedo from the resolve pass (the same
+    value the reference re-samples in its shading FS, shading.wgsl:58).
+    """
     depth = gbuffer.depth
     material_id = gbuffer.material
     uv = encoding.unpack2x16float(gbuffer.normal_uv[..., 1])
     nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
 
+    # One packed material-row gather for ids + albedo texture extent
+    # (the K-sized record build is dense and cheap).
     mats = scene.materials
-    mat_albedo = mats.albedo[material_id]
-    mat_emissive = mats.emissive[material_id]
-    mat_mr = mats.metallic_roughness[material_id]
-
-    tex_w = scene.textures.size[mat_albedo][..., 0].astype(jnp.float32)
-    tex_h = scene.textures.size[mat_albedo][..., 1].astype(jnp.float32)
+    sizes = scene.textures.size[mats.albedo].astype(jnp.float32)  # (K, 2)
+    shade_rec = jnp.concatenate(
+        [
+            mats.albedo.astype(jnp.float32)[:, None],
+            mats.emissive.astype(jnp.float32)[:, None],
+            mats.metallic_roughness.astype(jnp.float32)[:, None],
+            sizes,
+            jnp.zeros((mats.albedo.shape[0], 3), jnp.float32),
+        ],
+        axis=-1,
+    )  # (K, 8)
+    srec = shade_rec[material_id]
+    mat_albedo = srec[..., 0].astype(jnp.int32)
+    mat_emissive = srec[..., 1].astype(jnp.int32)
+    mat_mr = srec[..., 2].astype(jnp.int32)
+    tex_w = srec[..., 3]
+    tex_h = srec[..., 4]
     lod = uv_lod(uv, tex_w, tex_h)
     # NOTE: the reference samples the albedo texture only — material
     # base_color does NOT factor into shading (shading.wgsl:58, it is used
     # solely for the alpha cutoff in the raster pass). Parity kept.
-    albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
+    if albedo is None:
+        albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
     emissive = sample_trilinear(scene.textures, mat_emissive, uv, lod)[..., :3]
     mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
 

@@ -40,8 +40,10 @@ class SceneData:
     materials: MaterialData
     lights: LightData
     textures: TexturePoolData
-    ltc1: jnp.ndarray  # (64, 64, 4) f32
+    ltc1: jnp.ndarray  # (64, 64, 4) f32 (reference layout, for tests)
     ltc2: jnp.ndarray  # (64, 64, 4) f32
+    ltc1_quads: jnp.ndarray  # (64*64, 16) f32 packed 2x2 quads
+    ltc2_quads: jnp.ndarray  # (64*64, 16) f32
     tlas: Optional[TlasData] = None
 
 
@@ -86,6 +88,8 @@ class World:
         )
 
     def device(self, with_tlas: bool = False) -> SceneData:
+        from .texture import pack_lut_quads
+
         ltc1, ltc2 = load_ltc_tables()
         return SceneData(
             meshes=self.meshes.device(),
@@ -95,5 +99,7 @@ class World:
             textures=self.textures.device(),
             ltc1=jnp.asarray(ltc1),
             ltc2=jnp.asarray(ltc2),
+            ltc1_quads=jnp.asarray(pack_lut_quads(ltc1)),
+            ltc2_quads=jnp.asarray(pack_lut_quads(ltc2)),
             tlas=self.build_tlas() if with_tlas else None,
         )

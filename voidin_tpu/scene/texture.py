@@ -1,21 +1,23 @@
-"""Bindless-style texture pool for TPU.
+"""Bindless-style texture pool for TPU — texel-quad packed.
 
-The reference binds up to 1024 textures as a `binding_array` and samples them
-by material-provided index (pools/src/texture.rs:29-161). There are no
-descriptors on TPU, so the pool is one device array:
+The reference binds up to 1024 textures as a `binding_array` sampled by
+material index (pools/src/texture.rs:29-161). TPUs have no texture units:
+every texel fetch is a vector gather, and gathers are element-RATE bound
+(~4-6 ns per row regardless of row width up to ~64 B). The pool layout is
+therefore built around "one gather per bilinear tap":
 
-* every texture is stored *with its full mip chain* flattened into a single
-  texel axis: ``texels`` has shape (T, TOTAL, 4) where
-  ``TOTAL = sum_l (S>>l)^2`` and S is the pool's (power-of-two) base size.
-  A texel (t, level, y, x) lives at ``level_offset[level] + y * (S>>l) + x``.
-  This makes per-pixel mip level a dynamic index — one gather, no
-  per-level branching.
-* smaller textures occupy the top-left corner of each level; per-texture
-  (w, h) is kept for UV wrap.
+* every texel stores its full 2x2 bilinear neighborhood as one 16-byte row
+  (RGBA8 x [c00, c10, c01, c11]) with wrap addressing baked in at build
+  time — a bilinear sample is ONE gather + VPU lerps, not 4 gathers;
+* all mip levels of all textures live in a single flattened row axis:
+  row(t, level, y0, x0) = t * TOTAL + level_offset[level] + y0 * stride + x0
+  so the mip level is a dynamic index (trilinear = 2 gathers);
+* texels are stored in their source encoding (sRGB for color maps, linear
+  for data maps) and decoded AFTER filtering per a per-texture flag —
+  8-bit quality, matching standard GPU texture precision.
 
-Reserved ids (texture.rs:10-13): WHITE=0, BLACK=1, LTC1=2, LTC2=3. The two
-LTC LUTs additionally live as dedicated f32 arrays on SceneData (64x64
-matrices need full precision; the pool stores bf16).
+The same quad trick packs small f32 LUTs (the LTC tables) with
+clamp-to-edge baked in.
 
 Sampler semantics match the reference default sampler (app.rs:43-56):
 repeat addressing, bilinear filtering, linear mip blending.
@@ -23,7 +25,7 @@ repeat addressing, bilinear filtering, linear mip blending.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,12 @@ def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def srgb_to_linear_jnp(c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(
+        c <= _SRGB_BREAK, c / 12.92, ((c + 0.055) / 1.055) ** 2.4
+    )
+
+
 def _mip_sizes(base: int) -> List[int]:
     sizes = [base]
     while sizes[-1] > 1:
@@ -79,30 +87,48 @@ def _downsample2x2(img: np.ndarray) -> np.ndarray:
     return img[: nh * 2].reshape(nh, 2, 1, -1).mean(axis=1)
 
 
+def _quad_rows(img: np.ndarray, wrap: bool) -> np.ndarray:
+    """(h, w, 4) -> (h, w, 16): each texel's 2x2 neighborhood, edge-baked."""
+    if wrap:
+        xn = np.roll(img, -1, axis=1)
+        yn = np.roll(img, -1, axis=0)
+        xyn = np.roll(xn, -1, axis=0)
+    else:
+        xn = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        yn = np.concatenate([img[1:], img[-1:]], axis=0)
+        xyn = np.concatenate([xn[1:], xn[-1:]], axis=0)
+    return np.concatenate([img, xn, yn, xyn], axis=-1)
+
+
 @struct.dataclass
 class TexturePoolData:
-    texels: jnp.ndarray  # (T, TOTAL, 4) bf16, linear color
+    quads: jnp.ndarray  # (T * TOTAL, 16) u8 — 2x2 neighborhoods, wrap baked
     size: jnp.ndarray  # (T, 2) i32 (w, h) at level 0
     max_lod: jnp.ndarray  # (T,) f32 highest meaningful mip per texture
-    level_offset: jnp.ndarray = struct.field(pytree_node=False, default=None)
+    srgb: jnp.ndarray  # (T,) bool — decode rgb after filtering
+    level_offset: tuple = struct.field(pytree_node=False, default=None)
     base_size: int = struct.field(pytree_node=False, default=0)
+    total: int = struct.field(pytree_node=False, default=0)
 
     @property
     def count(self) -> int:
-        return self.texels.shape[0]
+        return self.size.shape[0]
 
 
 class TexturePool:
     def __init__(self, base_size: int = 1024):
         assert base_size & (base_size - 1) == 0
         self.base_size = base_size
-        self.images: List[np.ndarray] = []  # linear f32 (h, w, 4)
-        # Reserved: white, black + two LTC slots (kept white; real LUTs are
-        # dedicated f32 arrays on the scene).
-        white = np.ones((1, 1, 4), np.float32)
-        black = np.zeros((1, 1, 4), np.float32)
-        black[..., 3] = 1.0
-        self.images += [white, black, white.copy(), white.copy()]
+        self.images: List[np.ndarray] = []  # u8 (h, w, 4), source encoding
+        self.srgb_flags: List[bool] = []
+        white = np.full((1, 1, 4), 255, np.uint8)
+        black = np.zeros((1, 1, 4), np.uint8)
+        black[..., 3] = 255
+        # Reserved ids (texture.rs:10-13); LTC slots are placeholders — the
+        # real LUTs are dedicated f32 quad tables on SceneData.
+        for img in (white, black, white.copy(), white.copy()):
+            self.images.append(img)
+            self.srgb_flags.append(False)
 
     def __len__(self):
         return len(self.images)
@@ -110,27 +136,24 @@ class TexturePool:
     def add(self, image: np.ndarray, srgb: bool = False) -> int:
         """Add an (H, W, C) uint8/float image; returns its texture id."""
         img = np.asarray(image)
-        if img.dtype == np.uint8:
-            img = img.astype(np.float32) / 255.0
-        img = img.astype(np.float32)
+        if img.dtype != np.uint8:
+            img = (np.clip(img.astype(np.float32), 0.0, 1.0) * 255.0 + 0.5).astype(
+                np.uint8
+            )
         if img.ndim == 2:
             img = img[..., None]
         if img.shape[-1] == 1:
             img = np.repeat(img, 3, axis=-1)
         if img.shape[-1] == 3:
-            img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
-        if srgb:
             img = np.concatenate(
-                [srgb_to_linear(img[..., :3]), img[..., 3:4]], axis=-1
+                [img, np.full_like(img[..., :1], 255)], axis=-1
             )
-        h, w = img.shape[:2]
-        if h > self.base_size or w > self.base_size:
-            # Resize down to pool base size preserving aspect via box filter.
-            while img.shape[0] > self.base_size or img.shape[1] > self.base_size:
-                img = _downsample2x2(img)
+        while img.shape[0] > self.base_size or img.shape[1] > self.base_size:
+            img = _downsample2x2(img.astype(np.float32)).astype(np.uint8)
         if len(self.images) >= MAX_TEXTURES:
             raise ValueError("texture pool full")
-        self.images.append(np.ascontiguousarray(img, np.float32))
+        self.images.append(np.ascontiguousarray(img))
+        self.srgb_flags.append(bool(srgb))
         return len(self.images) - 1
 
     def device(self) -> TexturePoolData:
@@ -139,35 +162,36 @@ class TexturePool:
         offsets = np.cumsum([0] + [s * s for s in sizes])[:-1]
         total = int(sum(s * s for s in sizes))
         T = len(self.images)
-        texels = np.zeros((T, total, 4), np.float32)
+        quads = np.zeros((T, total, 16), np.uint8)
         wh = np.zeros((T, 2), np.int32)
         max_lod = np.zeros(T, np.float32)
         for t, img in enumerate(self.images):
             h, w = img.shape[:2]
             wh[t] = (w, h)
             max_lod[t] = max(0, int(np.floor(np.log2(max(min(w, h), 1)))))
-            level = img
+            level = img.astype(np.float32)
             for li, s in enumerate(sizes):
                 lh, lw = level.shape[:2]
                 if lh == 0 or lw == 0:
                     break
-                block = texels[t, offsets[li] : offsets[li] + s * s].reshape(s, s, 4)
-                block[:lh, :lw] = level[:s, :s]
+                lvl_u8 = (level + 0.5).astype(np.uint8)
+                q = _quad_rows(lvl_u8, wrap=True)
+                block = quads[t, offsets[li] : offsets[li] + s * s].reshape(s, s, 16)
+                block[:lh, :lw] = q[:s, :s]
                 if lh == 1 and lw == 1:
-                    # propagate the 1x1 tail to remaining levels
                     for lj in range(li + 1, len(sizes)):
                         sj = sizes[lj]
-                        texels[t, offsets[lj] : offsets[lj] + sj * sj] = level.reshape(
-                            1, 4
-                        )
+                        quads[t, offsets[lj] : offsets[lj] + sj * sj] = q.reshape(16)
                     break
                 level = _downsample2x2(level)
         return TexturePoolData(
-            texels=jnp.asarray(texels, jnp.bfloat16),
+            quads=jnp.asarray(quads.reshape(T * total, 16)),
             size=jnp.asarray(wh),
             max_lod=jnp.asarray(max_lod),
+            srgb=jnp.asarray(np.asarray(self.srgb_flags, bool)),
             level_offset=tuple(int(o) for o in offsets),
             base_size=S,
+            total=total,
         )
 
 
@@ -176,21 +200,17 @@ class TexturePool:
 # ---------------------------------------------------------------------------
 
 
-def _gather_texel(pool: TexturePoolData, tex_id, flat_idx):
-    """texels[(tex_id, flat_idx)] -> (..., 4) f32."""
-    return pool.texels[tex_id, flat_idx].astype(jnp.float32)
-
-
 def _bilinear_level(pool: TexturePoolData, tex_id, uv, level):
-    """Bilinear sample of one (dynamic) mip level with repeat wrap."""
+    """One quad-gather bilinear sample of a (dynamic) mip level, repeat wrap.
+
+    Returns raw (source-encoded) color in [0, 1].
+    """
     level = level.astype(jnp.int32)
     offsets = jnp.asarray(pool.level_offset, jnp.int32)
-    base = pool.base_size
-    # Level-l texture extent for this texture (>=1).
     wh = pool.size[tex_id]  # (..., 2)
     lw = jnp.maximum(wh[..., 0] >> level, 1)
     lh = jnp.maximum(wh[..., 1] >> level, 1)
-    stride = jnp.maximum(base >> level, 1)  # row stride of the padded level
+    stride = jnp.maximum(pool.base_size >> level, 1)
     off = offsets[level]
 
     fx = uv[..., 0] * lw.astype(jnp.float32) - 0.5
@@ -199,61 +219,65 @@ def _bilinear_level(pool: TexturePoolData, tex_id, uv, level):
     y0 = jnp.floor(fy)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), lw)
+    y0i = jnp.mod(y0.astype(jnp.int32), lh)
 
-    def wrap(v, n):
-        return jnp.mod(v.astype(jnp.int32), n)
-
-    x0i, x1i = wrap(x0, lw), wrap(x0 + 1, lw)
-    y0i, y1i = wrap(y0, lh), wrap(y0 + 1, lh)
-
-    def at(xi, yi):
-        return _gather_texel(pool, tex_id, off + yi * stride + xi)
-
-    c00, c10 = at(x0i, y0i), at(x1i, y0i)
-    c01, c11 = at(x0i, y1i), at(x1i, y1i)
-    top = c00 * (1 - tx) + c10 * tx
-    bot = c01 * (1 - tx) + c11 * tx
-    return top * (1 - ty) + bot * ty
+    idx = tex_id * pool.total + off + y0i * stride + x0i
+    q = pool.quads[idx].astype(jnp.float32) * (1.0 / 255.0)  # (..., 16)
+    c00, c10, c01, c11 = q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
 
 
-def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None):
-    """Trilinear (bilinear + linear mip) sample; repeat wrap.
+def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None, trilinear=True):
+    """Texture sample with repeat wrap; returns linear-space (..., 4).
 
-    tex_id: (...,) int32; uv: (..., 2) f32; lod: (...,) f32 or None (mip 0).
-    Returns (..., 4) f32 linear color.
+    1 quad-gather (bilinear / nearest mip) or 2 (trilinear).
     """
     if lod is None:
-        return _bilinear_level(pool, tex_id, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
-    lod = jnp.clip(lod, 0.0, pool.max_lod[tex_id])
-    l0 = jnp.floor(lod)
-    frac = (lod - l0)[..., None]
-    c0 = _bilinear_level(pool, tex_id, uv, l0.astype(jnp.int32))
-    c1 = _bilinear_level(
-        pool,
-        tex_id,
-        uv,
-        jnp.minimum(l0 + 1, pool.max_lod[tex_id]).astype(jnp.int32),
-    )
-    return c0 * (1 - frac) + c1 * frac
+        raw = _bilinear_level(pool, tex_id, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
+    else:
+        lod = jnp.clip(lod, 0.0, pool.max_lod[tex_id])
+        if trilinear:
+            l0 = jnp.floor(lod)
+            frac = (lod - l0)[..., None]
+            c0 = _bilinear_level(pool, tex_id, uv, l0.astype(jnp.int32))
+            c1 = _bilinear_level(
+                pool,
+                tex_id,
+                uv,
+                jnp.minimum(l0 + 1, pool.max_lod[tex_id]).astype(jnp.int32),
+            )
+            raw = c0 + (c1 - c0) * frac
+        else:
+            raw = _bilinear_level(
+                pool, tex_id, uv, jnp.round(lod).astype(jnp.int32)
+            )
+    # Post-filter sRGB decode (rgb only) where flagged.
+    decode = pool.srgb[tex_id][..., None]
+    rgb = jnp.where(decode, srgb_to_linear_jnp(raw[..., :3]), raw[..., :3])
+    return jnp.concatenate([rgb, raw[..., 3:4]], axis=-1)
 
 
-def sample_lut_bilinear(table: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Clamp-to-edge bilinear fetch from a (H, W, C) f32 LUT (LTC sampler)."""
-    h, w = table.shape[0], table.shape[1]
-    fx = uv[..., 0] * w - 0.5
+def pack_lut_quads(table: np.ndarray) -> np.ndarray:
+    """(H, W, 4) f32 LUT -> (H*W, 16) f32 quad rows, clamp-to-edge baked."""
+    return _quad_rows(np.asarray(table, np.float32), wrap=False).reshape(-1, 16)
+
+
+def sample_lut_bilinear(quads: jnp.ndarray, width: int, uv: jnp.ndarray):
+    """One-gather clamp-to-edge bilinear fetch from a packed f32 LUT."""
+    h = quads.shape[0] // width
+    fx = uv[..., 0] * width - 0.5
     fy = uv[..., 1] * h - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    c00 = table[y0i, x0i]
-    c10 = table[y0i, x1i]
-    c01 = table[y1i, x0i]
-    c11 = table[y1i, x1i]
-    top = c00 * (1 - tx) + c10 * tx
-    bot = c01 * (1 - tx) + c11 * tx
-    return top * (1 - ty) + bot * ty
+    q = quads[y0i * width + x0i]
+    c00, c10, c01, c11 = q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
