@@ -1,0 +1,73 @@
+import os
+
+import numpy as np
+import pytest
+
+import voidin_tpu as vt
+from voidin_tpu.io.gltf import GltfDocument
+from voidin_tpu.io.obj import import_obj
+
+_HELMET = (
+    "/root/reference/assets/glTF-Sample-Models/2.0/DamagedHelmet/glTF-Binary/"
+    "DamagedHelmet.glb"
+)
+_SPONZA = "/root/reference/assets/glTF-Sample-Models/2.0/Sponza/glTF/Sponza.gltf"
+_CUBE = "/root/reference/assets/cube/cube.obj"
+
+
+@pytest.mark.skipif(not os.path.exists(_HELMET), reason="assets not mounted")
+def test_gltf_glb_import():
+    w = vt.World()
+    doc = GltfDocument.import_file(w, _HELMET)
+    assert len(doc.mesh_ids) == 1
+    assert len(doc.material_ids) == 1
+    ids = doc.add_to_world(w)
+    assert len(ids) == 1
+    # alpha cutoff default replaces base_color.w (reference mod.rs:55-56)
+    assert w.materials.base_color[-1][3] == 0.5
+    # helmet textures: albedo, mr, emissive, normal (occlusion unused)
+    assert len(w.textures) == 4 + 4  # 4 reserved + 4 maps
+    h = w.meshes.host_arrays()
+    # helmet has ~15k tris; AABB should be roughly unit-scale
+    assert h["index_count"][-1] > 10000
+    assert np.all(np.isfinite(h["positions"]))
+
+
+_SPONZA_BIN = os.path.join(os.path.dirname(_SPONZA), "Sponza.bin")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_SPONZA_BIN), reason="Sponza.bin not in the mount"
+)
+def test_gltf_sponza_import():
+    w = vt.World()
+    doc = GltfDocument.import_file(w, _SPONZA)
+    inst = doc.scene_instances()
+    assert len(inst) > 20  # sponza has many primitives
+    total_tris = sum(
+        w.meshes.mesh_info[m]["index_count"] // 3 for _, m, _ in inst
+    )
+    assert total_tris > 100_000
+    assert len(w.textures) > 20
+
+
+@pytest.mark.skipif(not os.path.exists(_CUBE), reason="assets not mounted")
+def test_obj_import():
+    w = vt.World()
+    groups = import_obj(w, _CUBE)
+    assert len(groups) == 1
+    mesh_id, mat_id = groups[0]
+    info = w.meshes.mesh_info[mesh_id]
+    # the reference cube.obj is a beveled cube (218 polygon faces)
+    assert info["index_count"] >= 36 and info["index_count"] % 3 == 0
+    np.testing.assert_allclose(info["min"], [-1, -1, -1], atol=1e-5)
+    np.testing.assert_allclose(info["max"], [1, 1, 1], atol=1e-5)
+
+
+def test_obj_negative_indices(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+    w = vt.World()
+    groups = import_obj(w, str(p))
+    info = w.meshes.mesh_info[groups[0][0]]
+    assert info["index_count"] == 3
