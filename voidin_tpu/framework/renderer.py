@@ -79,6 +79,7 @@ def render_frame(
     enable_cull: bool = True,
     enable_taa: bool = True,
     enable_post: bool = True,
+    enable_rt_shadows: bool = False,
     mesh=None,
 ):
     """Full frame. Returns (srgb_image, new_state, new_scene, aux).
@@ -118,8 +119,11 @@ def render_frame(
             depth=shard_mod.shard_rows(mesh, gbuffer.depth),
         )
 
-    # 4. deferred shading (HDR).
-    hdr = shading_pass.shade(scene, gbuffer, camera, albedo=albedo)
+    # 4. deferred shading (HDR); optionally with TLAS-traced shadows.
+    if enable_rt_shadows:
+        hdr = shading_pass.shade_raytraced(scene, gbuffer, camera, albedo=albedo)
+    else:
+        hdr = shading_pass.shade(scene, gbuffer, camera, albedo=albedo)
     if mesh is not None:
         hdr = shard_mod.shard_rows(mesh, hdr)
 
@@ -152,6 +156,7 @@ class Renderer:
         enable_cull: bool = True,
         enable_taa: bool = True,
         enable_post: bool = True,
+        enable_rt_shadows: bool = False,
         moving_ids: Optional[np.ndarray] = None,
         mesh=None,
     ):
@@ -172,6 +177,7 @@ class Renderer:
                 enable_cull=enable_cull,
                 enable_taa=enable_taa,
                 enable_post=enable_post,
+                enable_rt_shadows=enable_rt_shadows,
                 mesh=mesh,
             )
         )

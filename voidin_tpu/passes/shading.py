@@ -238,3 +238,85 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
             color = color + jnp.where(is_light[..., None], 0.0, contrib)
 
     return jnp.maximum(color, 0.0)
+
+
+def shade_raytraced(
+    scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512
+) -> jnp.ndarray:
+    """Deferred shading with TLAS-traced point-light shadows.
+
+    Port of src/bin/raytraced_shadows.wgsl:58-119: ambient 0.3*albedo +
+    emissive, magenta debug for material 0, shadow ray from
+    pos + 0.0001*normal toward the light (t_max = 1 in light-vector units),
+    occlusion 0.5 on hit, attenuation applied to (diff + spec) * occlusion.
+    Requires scene.tlas (built at setup like the reference, app.rs:253).
+    """
+    from ..rt import traverse as trav
+
+    depth = gbuffer.depth
+    material_id = gbuffer.material
+    uv = encoding.unpack2x16float(gbuffer.normal_uv[..., 1])
+    nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
+    H, W = depth.shape
+
+    mats = scene.materials
+    mat_albedo = mats.albedo[material_id]
+    mat_emissive = mats.emissive[material_id]
+    mat_mr = mats.metallic_roughness[material_id]
+    sizes = scene.textures.size[mat_albedo].astype(jnp.float32)
+    lod = uv_lod(uv, sizes[..., 0], sizes[..., 1])
+    if albedo is None:
+        albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
+    emissive = sample_trilinear(scene.textures, mat_emissive, uv, lod)[..., :3]
+    mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
+
+    pos = world_position_from_depth(depth, camera.clip_to_world)
+    cam_pos = jnp.asarray(camera.position)[:3]
+    rd = _normalize(cam_pos - pos)
+
+    is_light = material_id == LIGHT_MATERIAL
+    color = albedo[..., :3] * 0.3 + emissive
+    color = jnp.where(is_light[..., None], albedo[..., :3] + emissive, color)
+
+    tlas, blas, inst, tri_pos = trav.scene_rays(scene)
+    lights = scene.lights
+    shadable = (depth > 0.0) & ~is_light
+    for i in range(lights.point_radius.shape[0]):
+        lpos = lights.point_position[i]
+        lrad = lights.point_radius[i]
+        lcol = lights.point_color[i]
+        light_vec = lpos - pos
+        dist = jnp.linalg.norm(light_vec, axis=-1)
+
+        origins = (pos + nor * 1e-4).reshape(-1, 3)
+        dirs = light_vec.reshape(-1, 3)
+        occ_hit = trav.occluded(
+            tlas,
+            blas,
+            inst,
+            tri_pos,
+            origins,
+            dirs,
+            t_max=1.0,
+            max_steps=max_steps,
+            active=shadable.reshape(-1),
+        ).reshape(H, W)
+        occlusion = jnp.where(occ_hit, 0.5, 1.0)
+
+        atten = attenuation(1.0, 1.0, dist, lrad)
+        light_dir = _normalize(light_vec)
+        shade_t = jnp.maximum(0.0, jnp.sum(nor * light_dir, axis=-1))
+        diff = lcol * albedo[..., :3] * shade_t[..., None]
+        covr = jnp.maximum(0.0, jnp.sum(-rd * nor, axis=-1))
+        spec = lcol * (mr[..., 2] * covr**16)[..., None]
+        contrib = (diff + spec) * (occlusion * atten)[..., None]
+        color = color + jnp.where(shadable[..., None], contrib, 0.0)
+
+    # reference renders material 0 as magenta (debug) — raytraced_shadows
+    # .wgsl:83-85; background pixels resolve to material 0, so only apply
+    # where geometry was hit.
+    magenta = jnp.array([1.0, 0.0, 1.0], jnp.float32)
+    color = jnp.where(
+        ((material_id == 0) & (depth > 0.0))[..., None], magenta, color
+    )
+    return jnp.maximum(color, 0.0)

@@ -1,0 +1,257 @@
+"""Device-side BVH traversal: batched TLAS -> BLAS shadow rays.
+
+Port of the traversal contract of shaders/utils/bvh.wgsl:33-122 (stack-based,
+two-level, ray transformed into object space per instance leaf) re-shaped
+for a SIMD machine: instead of one divergent thread per ray, ALL rays run in
+lock-step through a `lax.while_loop`; each iteration pops one stack entry
+per ray and performs masked TLAS/BLAS work. Memory accesses follow the
+one-wide-row-per-step rule (TPU gathers are element-rate bound):
+
+* TLAS nodes packed as (B, 8) rows [min3, a, max3, b]: internal a=left,
+  b=right; leaf a=-1, b=instance;
+* BLAS nodes packed as (B, 8) rows [min3, left_first, max3, count];
+* per-instance rows: inverse transform (16) + [bvh_root, tri_base] aux;
+* triangle corners from the de-indexed (T_pool, 9) rows.
+
+Stack entries: TLAS node i stored as i+1, BLAS node j as -(j+1); 0 = empty.
+A BLAS subtree completes before any TLAS entry below it pops (LIFO), so a
+single current transformed ray per lane is sound — the same invariant the
+reference's nested traversal relies on.
+
+This is the any-hit (occlusion) variant used for raytraced area/point-light
+shadows (src/bin/raytraced_shadows.wgsl:96-102): rays stop at the first
+intersection closer than t_max.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import fastmath
+
+MAX_DIST = 1e30
+STACK = 48
+MAX_LEAF = 8  # builder leaves are <= 3 except degenerate fallbacks
+
+
+def pack_blas_rows(bvh_min, bvh_max, left_first, count):
+    return jnp.concatenate(
+        [
+            bvh_min,
+            left_first.astype(jnp.float32)[:, None],
+            bvh_max,
+            count.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def pack_tlas_rows(tlas_min, tlas_max, left_right, instance):
+    lr = left_right.astype(jnp.uint32)
+    left = (lr & 0xFFFF).astype(jnp.float32)
+    right = (lr >> 16).astype(jnp.float32)
+    is_leaf = lr == 0
+    a = jnp.where(is_leaf, -1.0, left)
+    b = jnp.where(is_leaf, instance.astype(jnp.float32), right)
+    return jnp.concatenate(
+        [tlas_min, a[:, None], tlas_max, b[:, None]], axis=-1
+    )
+
+
+def pack_instance_rows(inv_transform, mesh_bvh_index, mesh_base_index, mesh_id):
+    n = inv_transform.shape[0]
+    return jnp.concatenate(
+        [
+            inv_transform.reshape(n, 16),
+            mesh_bvh_index[mesh_id].astype(jnp.float32)[:, None],
+            (mesh_base_index[mesh_id] // 3).astype(jnp.float32)[:, None],
+            jnp.zeros((n, 6), jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, 24)
+
+
+def _slab(o, inv_d, bmin, bmax, t_max):
+    """intersections.wgsl:13-24 — hit iff tmax' >= tmin', tmin' < t, tmax' > 0."""
+    tx1 = (bmin - o) * inv_d
+    tx2 = (bmax - o) * inv_d
+    hi = jnp.min(jnp.maximum(tx1, tx2), axis=-1)
+    lo = jnp.max(jnp.minimum(tx1, tx2), axis=-1)
+    return (hi >= lo) & (lo < t_max) & (hi > 0.0)
+
+
+def _tri_hit(o, d, v0, v1, v2, t_max):
+    """Backface-culled Moller-Trumbore (intersections.wgsl:26-45)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    uvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * uvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    orig = o - v0
+    u = inv_det * jnp.sum(orig * uvec, axis=-1)
+    vvec = jnp.cross(orig, e1)
+    v = inv_det * jnp.sum(d * vvec, axis=-1)
+    t = inv_det * jnp.sum(e2 * vvec, axis=-1)
+    return (
+        (det >= 1e-10)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+        & (t < t_max)
+    )
+
+
+def occluded(
+    tlas_rows,  # (Bt, 8)
+    blas_rows,  # (Bb, 8)
+    instance_rows,  # (N, 24)
+    tri_pos,  # (T_pool, 9)
+    origins,  # (R, 3)
+    directions,  # (R, 3) NOT normalized; t_max in units of |direction|
+    t_max=1.0,
+    max_steps=512,
+    active=None,
+):
+    """Any-hit occlusion for R rays. Returns (R,) bool.
+
+    `active`: optional (R,) mask — inactive rays are skipped entirely
+    (their result is False)."""
+    R = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    inv0 = 1.0 / jnp.where(jnp.abs(directions) > 1e-20, directions, 1e-20)
+    stack0 = jnp.zeros((R, STACK), jnp.int32)
+    stack0 = stack0.at[:, 0].set(1)  # TLAS root (node 0 stored as +1)
+    sp0 = jnp.ones((R,), jnp.int32)
+    if active is not None:
+        sp0 = jnp.where(active, sp0, 0)
+
+    state = dict(
+        stack=stack0,
+        sp=sp0,
+        hit=jnp.zeros((R,), bool),
+        # current (possibly object-space) ray per lane
+        co=origins,
+        cd=directions,
+        cinv=inv0,
+        tri_base=jnp.zeros((R,), jnp.int32),
+        bvh_base=jnp.zeros((R,), jnp.int32),
+        steps=jnp.asarray(0, jnp.int32),
+    )
+
+    rr = jnp.arange(R)
+
+    def cond(s):
+        return jnp.any((s["sp"] > 0) & ~s["hit"]) & (s["steps"] < max_steps)
+
+    def body(s):
+        active = (s["sp"] > 0) & ~s["hit"]
+        top = jnp.maximum(s["sp"] - 1, 0)
+        entry = s["stack"][rr, top]
+        sp = jnp.where(active, s["sp"] - 1, s["sp"])
+
+        is_blas = entry < 0
+        t_node = jnp.where(active & ~is_blas, entry - 1, 0)
+        b_node = jnp.where(active & is_blas, -entry - 1, 0)
+
+        # --- TLAS step (original ray) --------------------------------
+        trow = tlas_rows[t_node]  # (R, 8)
+        t_hit = _slab(origins, inv0, trow[:, 0:3], trow[:, 4:7], t_max)
+        t_leaf = trow[:, 3] < 0.0
+        t_act = active & ~is_blas & t_hit
+
+        # internal: push children
+        left = trow[:, 3].astype(jnp.int32) + 1
+        right = trow[:, 7].astype(jnp.int32) + 1
+        push2 = t_act & ~t_leaf
+
+        # leaf: enter instance — transform ray, push BLAS root
+        inst = jnp.where(t_leaf, trow[:, 7], 0.0).astype(jnp.int32)
+        irow = instance_rows[jnp.where(t_act & t_leaf, inst, 0)]  # (R, 24)
+        inv_t = irow[:, :16].reshape(R, 4, 4)
+        o_obj = fastmath.mat4_point(inv_t, origins)
+        d_obj = fastmath.mat3_vec(inv_t[:, :3, :3], directions)
+        enter = t_act & t_leaf
+        co = jnp.where(enter[:, None], o_obj, s["co"])
+        cd = jnp.where(enter[:, None], d_obj, s["cd"])
+        cinv = jnp.where(
+            enter[:, None],
+            1.0 / jnp.where(jnp.abs(d_obj) > 1e-20, d_obj, 1e-20),
+            s["cinv"],
+        )
+        tri_base = jnp.where(enter, irow[:, 17].astype(jnp.int32), s["tri_base"])
+        # mesh BLAS child indices are mesh-local (bvh.wgsl:55-56 adds
+        # mesh.bvh_index); keep the pool base per lane
+        bvh_base = jnp.where(enter, irow[:, 16].astype(jnp.int32), s["bvh_base"])
+        blas_root = irow[:, 16].astype(jnp.int32)
+
+        # --- BLAS step (current object-space ray) --------------------
+        brow = blas_rows[b_node]
+        b_hit = _slab(s["co"], s["cinv"], brow[:, 0:3], brow[:, 4:7], t_max)
+        b_count = brow[:, 7].astype(jnp.int32)
+        b_leaf = b_count > 0
+        b_act = active & is_blas & b_hit
+        b_left = brow[:, 3].astype(jnp.int32)
+
+        hit = s["hit"]
+        for i in range(MAX_LEAF):
+            in_leaf = b_act & b_leaf & (i < b_count)
+            tri = tri_pos[
+                jnp.where(in_leaf, s["tri_base"] + b_left + i, 0)
+            ]  # (R, 9)
+            h = _tri_hit(
+                s["co"], s["cd"], tri[:, 0:3], tri[:, 3:6], tri[:, 6:9], t_max
+            )
+            hit = hit | (in_leaf & h)
+
+        # --- stack pushes (masked, bounded) --------------------------
+        stack = s["stack"]
+
+        def push(stack, sp, mask, value):
+            slot = jnp.minimum(sp, STACK - 1)
+            newcol = stack[rr, slot]
+            newcol = jnp.where(mask, value, newcol)
+            stack = stack.at[rr, slot].set(newcol)
+            return stack, jnp.where(mask, jnp.minimum(sp + 1, STACK), sp)
+
+        # TLAS internal children
+        stack, sp = push(stack, sp, push2, left)
+        stack, sp = push(stack, sp, push2, right)
+        # instance leaf -> BLAS root (encoded negative)
+        stack, sp = push(stack, sp, enter, -(blas_root + 1))
+        # BLAS internal children (adjacent pair, blas.rs:10-17; indices
+        # are mesh-local -> add the pool base)
+        push_b = b_act & ~b_leaf
+        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 1))
+        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 2))
+
+        return dict(
+            stack=stack,
+            sp=sp,
+            hit=hit,
+            co=co,
+            cd=cd,
+            cinv=cinv,
+            tri_base=tri_base,
+            bvh_base=bvh_base,
+            steps=s["steps"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["hit"]
+
+
+def scene_rays(scene):
+    """Convenience: packed traversal tables from SceneData."""
+    m = scene.meshes
+    blas = pack_blas_rows(m.bvh_min, m.bvh_max, m.bvh_left_first, m.bvh_count)
+    t = scene.tlas
+    tlas = pack_tlas_rows(t.tlas_min, t.tlas_max, t.tlas_left_right, t.tlas_instance)
+    inst = pack_instance_rows(
+        scene.instances.inv_transform, m.bvh_index, m.base_index,
+        scene.instances.mesh_id,
+    )
+    return tlas, blas, inst, m.tri_pos
