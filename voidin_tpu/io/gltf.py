@@ -191,6 +191,16 @@ class GltfDocument:
             key = (img_index, srgb)
             if key in image_cache:
                 return image_cache[key]
+            try:
+                return _load(img_index, key, srgb)
+            except FileNotFoundError as e:
+                import warnings
+
+                warnings.warn(f"glTF image missing, using WHITE: {e}", stacklevel=2)
+                image_cache[key] = WHITE_TEXTURE
+                return WHITE_TEXTURE
+
+        def _load(img_index: int, key, srgb: bool) -> int:
             img = doc["images"][img_index]
             from io import BytesIO
 

@@ -150,3 +150,174 @@ def fine_raster_pallas(
         interpret=interpret,
     )(counts, records)
     return depth, tri
+
+
+# ---------------------------------------------------------------------------
+# Pair-centric variant: no per-tile capacity. Triangle records sorted by
+# tile live in HBM; each tile's range [start, start+count) is streamed
+# through VMEM with double-buffered DMA. Cost scales with the actual number
+# of (tile, triangle) pairs — a tile with 50k triangles just loops longer.
+# ---------------------------------------------------------------------------
+
+CHUNK = 128  # records per chunk: one (16 fields, 128 records) DMA block
+
+
+def _kernel_pairs(
+    starts_ref,
+    counts_ref,
+    rec_hbm,  # (n_chunks, RECORD_F, CHUNK) f32, field-major per chunk
+    depth_ref,
+    id_ref,
+    scratch,  # (tps, 2, RECORD_F, CHUNK)
+    sems,
+    *,
+    tiles_per_step,
+    tiles_x,
+):
+    step = pl.program_id(0)
+    # pixels on sublanes: pixel (y, x) of the 8x16 tile; triangle fields on
+    # lanes. Column group g handles pixels x == g, all 8 rows at once.
+    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def dma(j, slot, chunk0, c):
+        return pltpu.make_async_copy(
+            rec_hbm.at[chunk0 + c],
+            scratch.at[j, slot],
+            sems.at[j, slot],
+        )
+
+    # Prologue: first chunk of every non-empty tile in flight at once.
+    # (Start/wait MUST balance per semaphore — they persist across steps.)
+    for j in range(tiles_per_step):
+        tile = step * tiles_per_step + j
+
+        @pl.when(counts_ref[tile] > 0)
+        def _(j=j, tile=tile):
+            dma(j, 0, starts_ref[tile] // CHUNK, 0).start()
+
+    for j in range(tiles_per_step):
+        tile = step * tiles_per_step + j
+        start = starts_ref[tile]
+        count = counts_ref[tile]
+        chunk0 = start // CHUNK
+        offset = start - chunk0 * CHUNK  # 0..127
+        span = offset + count
+        n_chunks = jnp.where(count > 0, (span + CHUNK - 1) // CHUNK, 0)
+        tx0 = (jnp.mod(tile, tiles_x) * TILE_W).astype(jnp.float32)
+        ty0 = ((tile // tiles_x) * TILE_H).astype(jnp.float32)
+
+        def body(c, carry):
+            best_d, best_i = carry  # (TILE_H, TILE_W) each
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                dma(j, jax.lax.rem(c + 1, 2), chunk0, c + 1).start()
+
+            dma(j, jax.lax.rem(c, 2), chunk0, c).wait()
+
+            def one_slot(blk):  # (RECORD_F, CHUNK)
+                def fld(f):
+                    return blk[f : f + 1, :]  # (1, CHUNK)
+
+                sx0, sx1, sx2 = fld(F_SX), fld(F_SX + 1), fld(F_SX + 2)
+                sy0, sy1, sy2 = fld(F_SY), fld(F_SY + 1), fld(F_SY + 2)
+                z0, z1, z2 = fld(F_Z), fld(F_Z + 1), fld(F_Z + 2)
+                idf = fld(F_ID)
+                in_range = (lane >= offset - c * CHUNK) & (
+                    lane < span - c * CHUNK
+                )
+                ok = (idf >= 0.0) & in_range  # (1, CHUNK)
+
+                bd, bi = best_d, best_i
+                for g in range(TILE_W):
+                    px = tx0 + g + 0.5  # scalar
+                    py = ty0 + ys + 0.5  # (8, 1)
+                    e0 = (px - sx0) * (sy1 - sy0) - (py - sy0) * (sx1 - sx0)
+                    e1 = (px - sx1) * (sy2 - sy1) - (py - sy1) * (sx2 - sx1)
+                    e2 = (px - sx2) * (sy0 - sy2) - (py - sy2) * (sx0 - sx2)
+                    inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & ok
+                    ssum = e0 + e1 + e2
+                    inv = 1.0 / jnp.where(jnp.abs(ssum) > 1e-20, ssum, 1e-20)
+                    depth = (e1 * z0 + e2 * z1 + e0 * z2) * inv
+                    cand = jnp.where(inside, depth, -1.0)  # (8, CHUNK)
+                    gmax = jnp.max(cand, axis=1, keepdims=True)  # (8, 1)
+                    gid = jnp.max(
+                        jnp.where(cand == gmax, idf, -1.0), axis=1, keepdims=True
+                    )
+                    prev_d = bd[:, g : g + 1]
+                    take = gmax > prev_d  # (8, 1)
+                    # column-masked elementwise update (Mosaic has neither
+                    # scatter nor dynamic_update_slice on values)
+                    col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1) == g
+                    sel = col & take
+                    bd = jnp.where(sel, gmax, bd)
+                    bi = jnp.where(sel, gid, bi)
+                return bd, bi
+
+            return jax.lax.cond(
+                jax.lax.rem(c, 2) == 0,
+                lambda: one_slot(scratch[j, 0]),
+                lambda: one_slot(scratch[j, 1]),
+            )
+
+        init = (
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1.0),
+        )
+        best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+        depth_ref[j] = best_d
+        id_ref[j] = best_i
+
+
+def fine_raster_pairs(
+    records_sorted: jnp.ndarray,  # (E + pad, RECORD_F) f32, tile-sorted
+    starts: jnp.ndarray,  # (NT,) i32 first pair slot per tile
+    counts: jnp.ndarray,  # (NT,) i32 pairs per tile (uncapped)
+    tiles_x: int,
+    tiles_per_step: int = 8,
+    interpret: bool = False,
+):
+    """Returns (depth (NT, 8, 16) f32, id (NT, 8, 16) f32)."""
+    nt = starts.shape[0]
+    e_pad, rf = records_sorted.shape
+    assert rf == RECORD_F and nt % tiles_per_step == 0 and e_pad % CHUNK == 0
+    # chunk-major field-major layout: [chunk, field, record-in-chunk]
+    rec_chunks = jnp.transpose(
+        records_sorted.reshape(e_pad // CHUNK, CHUNK, RECORD_F), (0, 2, 1)
+    )
+    grid = (nt // tiles_per_step,)
+    kernel = functools.partial(
+        _kernel_pairs, tiles_per_step=tiles_per_step, tiles_x=tiles_x
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (tiles_per_step, TILE_H, TILE_W),
+                lambda s, a, b: (s, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tiles_per_step, TILE_H, TILE_W),
+                lambda s, a, b: (s, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tiles_per_step, 2, RECORD_F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((tiles_per_step, 2)),
+        ],
+    )
+    depth, tri = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((nt, TILE_H, TILE_W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts, counts, rec_chunks)
+    return depth, tri

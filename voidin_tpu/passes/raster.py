@@ -361,6 +361,55 @@ def bin_triangles(setup: dict, config: RasterConfig):
 # ---------------------------------------------------------------------------
 
 
+def bin_triangles_pairs(setup: dict, config: RasterConfig):
+    """Pair-centric binning: tile-sorted records + per-tile ranges, no
+    per-tile capacity (feeds ops/fine_raster.fine_raster_pairs)."""
+    TX, TY = config.tiles_x, config.tiles_y
+    NT = config.n_tiles_padded
+    E = config.pair_capacity
+
+    sx, sy, alive = setup["sx"], setup["sy"], setup["alive"]
+    x0 = jnp.floor(jnp.min(sx, axis=-1))
+    x1 = jnp.ceil(jnp.max(sx, axis=-1))
+    y0 = jnp.floor(jnp.min(sy, axis=-1))
+    y1 = jnp.ceil(jnp.max(sy, axis=-1))
+    on_screen = (x1 >= 0) & (y1 >= 0) & (x0 < config.width) & (y0 < config.height)
+    alive = alive & on_screen
+
+    tx0 = jnp.clip(x0.astype(jnp.int32) // config.tile_w, 0, TX - 1)
+    tx1 = jnp.clip(x1.astype(jnp.int32) // config.tile_w, 0, TX - 1)
+    ty0 = jnp.clip(y0.astype(jnp.int32) // config.tile_h, 0, TY - 1)
+    ty1 = jnp.clip(y1.astype(jnp.int32) // config.tile_h, 0, TY - 1)
+    bw = tx1 - tx0 + 1
+    n_pairs = jnp.where(alive, bw * (ty1 - ty0 + 1), 0)
+    bbox_rec = jnp.stack([tx0, ty0, bw], axis=-1)
+
+    tri, local, pair_valid = segment_ids_from_counts(n_pairs, E)
+    cum = jnp.cumsum(n_pairs)
+    overflow = jnp.maximum(cum[-1] - E, 0)
+
+    br = bbox_rec[tri]
+    tile = (br[:, 1] + local // br[:, 2]) * TX + (br[:, 0] + local % br[:, 2])
+    tile = jnp.where(pair_valid, tile, NT)
+
+    tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, tri)
+    bounds = jnp.searchsorted(
+        tile_sorted, jnp.arange(NT + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    starts = bounds[:-1]
+    counts = bounds[1:] - bounds[:-1]
+
+    from ..ops.fine_raster import CHUNK
+
+    rec_sorted = setup["raster_rec"][tri_sorted]  # (E, 16), tile order
+    # pad: one chunk for round-down + up to a chunk of capacity remainder
+    pad = 2 * CHUNK - (E % CHUNK if E % CHUNK else CHUNK) + CHUNK
+    rec_sorted = jnp.concatenate(
+        [rec_sorted, jnp.zeros((pad, fr.RECORD_F), jnp.float32)]
+    )
+    return rec_sorted, starts, counts, overflow
+
+
 def fine_raster_xla(records, counts, config: RasterConfig):
     """Pure-XLA reference fine raster over the same record blocks.
 
@@ -410,17 +459,7 @@ def fine_raster_xla(records, counts, config: RasterConfig):
     return jax.lax.fori_loop(0, K // G, body, init)
 
 
-def fine_raster(records, counts, config: RasterConfig, backend: str = "pallas"):
-    if backend == "xla":
-        depth, trif = fine_raster_xla(records, counts, config)
-    else:
-        depth, trif = fr.fine_raster_pallas(
-            records,
-            counts,
-            tiles_x=config.tiles_x,
-            tiles_per_step=config.tiles_per_step,
-            interpret=config.interpret,
-        )
+def _untile(depth, trif, config: RasterConfig):
     NT = config.n_tiles
     TY, TX = config.tiles_y, config.tiles_x
     th, tw = config.tile_h, config.tile_w
@@ -433,8 +472,21 @@ def fine_raster(records, counts, config: RasterConfig, backend: str = "pallas"):
             .reshape(TY * th, TX * tw)
         )
 
-    tri_id = untile(trif).astype(jnp.int32)
-    return untile(depth), tri_id
+    return untile(depth), untile(trif).astype(jnp.int32)
+
+
+def fine_raster(records, counts, config: RasterConfig, backend: str = "pallas"):
+    if backend == "xla":
+        depth, trif = fine_raster_xla(records, counts, config)
+    else:
+        depth, trif = fr.fine_raster_pallas(
+            records,
+            counts,
+            tiles_x=config.tiles_x,
+            tiles_per_step=config.tiles_per_step,
+            interpret=config.interpret,
+        )
+    return _untile(depth, trif, config)
 
 
 def rasterize(
@@ -445,8 +497,23 @@ def rasterize(
     config: RasterConfig,
 ) -> VisBuffer:
     setup = triangle_setup(meshes, instances, draws, camera, config)
-    records, counts, overflow = bin_triangles(setup, config)
-    depth, tri_id = fine_raster(records, counts, config, backend=config.backend)
+    if config.backend == "pallas":
+        # pair-centric path: no per-tile capacity
+        rec_sorted, starts, counts, overflow = bin_triangles_pairs(setup, config)
+        depth, trif = fr.fine_raster_pairs(
+            rec_sorted,
+            starts,
+            counts,
+            tiles_x=config.tiles_x,
+            tiles_per_step=config.tiles_per_step,
+            interpret=config.interpret,
+        )
+        depth, tri_id = _untile(
+            depth.reshape(depth.shape[0], -1), trif.reshape(trif.shape[0], -1), config
+        )
+    else:
+        records, counts, overflow = bin_triangles(setup, config)
+        depth, tri_id = fine_raster(records, counts, config, backend=config.backend)
     H, W = config.height, config.width
     return VisBuffer(
         tri_id=tri_id[:H, :W],

@@ -289,3 +289,57 @@ class MeshPool:
     def device(self) -> MeshPoolData:
         h = self.host_arrays()
         return MeshPoolData(**{k: jnp.asarray(v) for k, v in h.items()})
+
+
+def make_torus_knot(
+    p: int = 2,
+    q: int = 3,
+    segments: int = 256,
+    sides: int = 32,
+    radius: float = 1.0,
+    tube: float = 0.3,
+) -> Mesh:
+    """(p,q) torus knot tube — a dense procedural stand-in for the classic
+    bunny/dragon scan meshes (which the reference references but does not
+    ship; BASELINE.md asset note). ~segments*sides*2 triangles."""
+    t = np.linspace(0, 2 * np.pi, segments, endpoint=False, dtype=np.float32)
+    r = radius * (2 + np.cos(q * t)) * 0.5
+    center = np.stack(
+        [r * np.cos(p * t), radius * np.sin(q * t) * 0.5, r * np.sin(p * t)], -1
+    )
+    # Frenet-ish frame
+    nxt = np.roll(center, -1, axis=0)
+    tang = nxt - center
+    tang /= np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-9)
+    up = np.array([0, 1, 0], np.float32)
+    side = np.cross(tang, up)
+    side /= np.maximum(np.linalg.norm(side, axis=-1, keepdims=True), 1e-9)
+    up2 = np.cross(side, tang)
+
+    a = np.linspace(0, 2 * np.pi, sides, endpoint=False, dtype=np.float32)
+    circ = (
+        np.cos(a)[None, :, None] * side[:, None, :]
+        + np.sin(a)[None, :, None] * up2[:, None, :]
+    )  # (seg, sides, 3)
+    verts = (center[:, None, :] + tube * circ).reshape(-1, 3)
+    normals = circ.reshape(-1, 3)
+    uvs = np.stack(
+        np.meshgrid(
+            np.arange(sides) / sides, np.arange(segments) / segments
+        ),
+        -1,
+    ).reshape(-1, 2).astype(np.float32)
+    tangents = np.concatenate(
+        [np.repeat(tang, sides, axis=0), -np.ones((len(verts), 1), np.float32)],
+        axis=-1,
+    )
+    idx = []
+    for i in range(segments):
+        for j in range(sides):
+            a0 = i * sides + j
+            a1 = i * sides + (j + 1) % sides
+            b0 = ((i + 1) % segments) * sides + j
+            b1 = ((i + 1) % segments) * sides + (j + 1) % sides
+            idx += [a0, b0, a1, a1, b0, b1]
+    return Mesh(verts, normals, tangents.astype(np.float32), uvs,
+                np.array(idx, np.int32))
