@@ -127,3 +127,65 @@ def test_instance_world_aabbs():
     )
     np.testing.assert_allclose(mn[0], [3, -1, -1], atol=1e-6)
     np.testing.assert_allclose(mx[0], [7, 1, 1], atol=1e-6)
+
+
+def test_native_blas_matches_numpy_semantics():
+    """C++ builder: same invariants + identical closest hits vs brute force."""
+    from voidin_tpu import native as native_mod
+
+    if native_mod.load() is None:
+        pytest.skip("native builder unavailable")
+    verts, indices = _random_tris(200, seed=5)
+    out = native_mod.build_blas_native(verts, indices)
+    assert out is not None
+    nodes, perm = out
+    _check_invariants(nodes, verts, perm, 200)
+    rng = np.random.default_rng(9)
+    for _ in range(32):
+        origin = rng.uniform(-15, 15, 3).astype(np.float32)
+        direction = rng.normal(size=3).astype(np.float32)
+        t_bvh = bvh.traverse_blas_oracle(nodes, verts, perm, origin, direction)
+        t_ref = bvh.brute_force_closest(verts, perm, origin, direction)
+        assert np.isclose(t_bvh, t_ref, rtol=1e-5)
+
+
+def test_native_tlas_matches_invariants():
+    from voidin_tpu import native as native_mod
+
+    if native_mod.load() is None:
+        pytest.skip("native builder unavailable")
+    rng = np.random.default_rng(2)
+    n = 300
+    mins = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    maxs = mins + rng.uniform(0.1, 3.0, (n, 3)).astype(np.float32)
+    nodes = native_mod.build_tlas_native(mins, maxs)
+    seen = np.zeros(n, int)
+    stack = [0]
+    while stack:
+        ni = stack.pop()
+        node = nodes[ni]
+        if node["left_right"] == 0:
+            seen[int(node["instance_idx"])] += 1
+        else:
+            li = int(node["left_right"] & 0xFFFF)
+            ri = int(node["left_right"] >> 16)
+            for c in (li, ri):
+                assert (nodes[c]["min"] >= node["min"] - 1e-4).all()
+                assert (nodes[c]["max"] <= node["max"] + 1e-4).all()
+            stack += [li, ri]
+    assert (seen == 1).all()
+
+
+def test_native_blas_speed():
+    """The C++ path should build a 100k-tri BVH in well under a second."""
+    import time
+
+    from voidin_tpu import native as native_mod
+
+    if native_mod.load() is None:
+        pytest.skip("native builder unavailable")
+    verts, indices = _random_tris(100_000, seed=1)
+    t0 = time.perf_counter()
+    out = native_mod.build_blas_native(verts, indices)
+    dt = time.perf_counter() - t0
+    assert out is not None and dt < 2.0, dt

@@ -65,7 +65,7 @@ def single_leaf_nodes(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
 
 
 def build_blas(
-    vertices: np.ndarray, indices: np.ndarray
+    vertices: np.ndarray, indices: np.ndarray, native: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build a binned-SAH BVH.
 
@@ -73,7 +73,16 @@ def build_blas(
     array; ``permuted_indices`` is the flat (3*T,) index buffer reordered so
     each leaf's triangles are contiguous (matching MeshPool.add semantics,
     pools/src/mesh/mod.rs:320-330).
+
+    Uses the C++ builder (voidin_tpu/native) when available; the numpy
+    level-synchronous implementation below is the oracle and fallback.
     """
+    if native:
+        from .. import native as native_mod
+
+        out = native_mod.build_blas_native(vertices, indices)
+        if out is not None:
+            return out
     vertices = np.asarray(vertices, np.float32)
     tri_idx = np.asarray(indices, np.int64).reshape(-1, 3)
     T = len(tri_idx)
@@ -277,12 +286,20 @@ def instance_world_aabbs(
     return world.min(axis=1).astype(np.float32), world.max(axis=1).astype(np.float32)
 
 
-def build_tlas(inst_min: np.ndarray, inst_max: np.ndarray) -> np.ndarray:
+def build_tlas(
+    inst_min: np.ndarray, inst_max: np.ndarray, native: bool = True
+) -> np.ndarray:
     """Top-down SAH TLAS over instance world AABBs (reference node layout).
 
     Child indices are packed 16+16 into `left_right`, so at most 65535 nodes
     (~32k instances) — the same limit the reference format implies.
     """
+    if native and len(inst_min) > 0:
+        from .. import native as native_mod
+
+        out = native_mod.build_tlas_native(inst_min, inst_max)
+        if out is not None:
+            return out
     N = len(inst_min)
     if N == 0:
         return np.zeros(1, TLAS_DTYPE)
