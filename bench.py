@@ -147,7 +147,7 @@ def main():
         width=1920,
         height=1080,
         tri_capacity=1 << 20,
-        pair_capacity=1 << 22,
+        pair_capacity=1 << 20,  # scene peaks at ~690k pairs; ops cost by capacity
         tile_tri_capacity=128,
         interpret=backend == "cpu",
     )

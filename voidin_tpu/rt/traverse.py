@@ -255,3 +255,144 @@ def scene_rays(scene):
         scene.instances.mesh_id,
     )
     return tlas, blas, inst, m.tri_pos
+
+
+def closest_hit(
+    tlas_rows,
+    blas_rows,
+    instance_rows,
+    tri_pos,
+    origins,
+    directions,
+    t_max=MAX_DIST,
+    max_steps=2048,
+    active=None,
+):
+    """Closest-hit traversal (bvh_trace.wgsl equivalent).
+
+    Returns (t, steps): hit distance in |direction| units (t_max on miss)
+    and the per-ray node-visit count (the reference demo's traversal-depth
+    heat overlay, src/bin/bvh_trace.wgsl:243-244).
+    """
+    R = origins.shape[0]
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    inv0 = 1.0 / jnp.where(jnp.abs(directions) > 1e-20, directions, 1e-20)
+    stack0 = jnp.zeros((R, STACK), jnp.int32)
+    stack0 = stack0.at[:, 0].set(1)
+    sp0 = jnp.ones((R,), jnp.int32)
+    if active is not None:
+        sp0 = jnp.where(active, sp0, 0)
+
+    state = dict(
+        stack=stack0,
+        sp=sp0,
+        t=t0,
+        co=origins,
+        cd=directions,
+        cinv=inv0,
+        tri_base=jnp.zeros((R,), jnp.int32),
+        bvh_base=jnp.zeros((R,), jnp.int32),
+        visits=jnp.zeros((R,), jnp.int32),
+        steps=jnp.asarray(0, jnp.int32),
+    )
+    rr = jnp.arange(R)
+
+    def cond(s):
+        return jnp.any(s["sp"] > 0) & (s["steps"] < max_steps)
+
+    def body(s):
+        act = s["sp"] > 0
+        top = jnp.maximum(s["sp"] - 1, 0)
+        entry = s["stack"][rr, top]
+        sp = jnp.where(act, s["sp"] - 1, s["sp"])
+
+        is_blas = entry < 0
+        t_node = jnp.where(act & ~is_blas, entry - 1, 0)
+        b_node = jnp.where(act & is_blas, -entry - 1, 0)
+
+        trow = tlas_rows[t_node]
+        t_hit = _slab(origins, inv0, trow[:, 0:3], trow[:, 4:7], s["t"])
+        t_leaf = trow[:, 3] < 0.0
+        t_act = act & ~is_blas & t_hit
+        left = trow[:, 3].astype(jnp.int32) + 1
+        right = trow[:, 7].astype(jnp.int32) + 1
+        push2 = t_act & ~t_leaf
+
+        inst = jnp.where(t_leaf, trow[:, 7], 0.0).astype(jnp.int32)
+        irow = instance_rows[jnp.where(t_act & t_leaf, inst, 0)]
+        inv_t = irow[:, :16].reshape(R, 4, 4)
+        o_obj = fastmath.mat4_point(inv_t, origins)
+        d_obj = fastmath.mat3_vec(inv_t[:, :3, :3], directions)
+        enter = t_act & t_leaf
+        co = jnp.where(enter[:, None], o_obj, s["co"])
+        cd = jnp.where(enter[:, None], d_obj, s["cd"])
+        cinv = jnp.where(
+            enter[:, None],
+            1.0 / jnp.where(jnp.abs(d_obj) > 1e-20, d_obj, 1e-20),
+            s["cinv"],
+        )
+        tri_base = jnp.where(enter, irow[:, 17].astype(jnp.int32), s["tri_base"])
+        bvh_base = jnp.where(enter, irow[:, 16].astype(jnp.int32), s["bvh_base"])
+        blas_root = irow[:, 16].astype(jnp.int32)
+
+        brow = blas_rows[b_node]
+        b_hit = _slab(s["co"], s["cinv"], brow[:, 0:3], brow[:, 4:7], s["t"])
+        b_count = brow[:, 7].astype(jnp.int32)
+        b_leaf = b_count > 0
+        b_act = act & is_blas & b_hit
+        b_left = brow[:, 3].astype(jnp.int32)
+
+        t_best = s["t"]
+        for i in range(MAX_LEAF):
+            in_leaf = b_act & b_leaf & (i < b_count)
+            tri = tri_pos[jnp.where(in_leaf, s["tri_base"] + b_left + i, 0)]
+            th = _tri_t(s["co"], s["cd"], tri[:, 0:3], tri[:, 3:6], tri[:, 6:9])
+            t_best = jnp.where(in_leaf & (th > 0) & (th < t_best), th, t_best)
+
+        stack = s["stack"]
+
+        def push(stack, sp, mask, value):
+            slot = jnp.minimum(sp, STACK - 1)
+            newcol = jnp.where(mask, value, stack[rr, slot])
+            stack = stack.at[rr, slot].set(newcol)
+            return stack, jnp.where(mask, jnp.minimum(sp + 1, STACK), sp)
+
+        stack, sp = push(stack, sp, push2, left)
+        stack, sp = push(stack, sp, push2, right)
+        stack, sp = push(stack, sp, enter, -(blas_root + 1))
+        push_b = b_act & ~b_leaf
+        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 1))
+        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 2))
+
+        return dict(
+            stack=stack,
+            sp=sp,
+            t=t_best,
+            co=co,
+            cd=cd,
+            cinv=cinv,
+            tri_base=tri_base,
+            bvh_base=bvh_base,
+            visits=s["visits"] + act.astype(jnp.int32),
+            steps=s["steps"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["t"], out["visits"]
+
+
+def _tri_t(o, d, v0, v1, v2):
+    """Moller-Trumbore distance (backface-culled); -1 on miss."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    uvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * uvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    orig = o - v0
+    u = inv_det * jnp.sum(orig * uvec, axis=-1)
+    vvec = jnp.cross(orig, e1)
+    v = inv_det * jnp.sum(d * vvec, axis=-1)
+    t = inv_det * jnp.sum(e2 * vvec, axis=-1)
+    ok = (det >= 1e-10) & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+    return jnp.where(ok, t, -1.0)
