@@ -1,0 +1,130 @@
+"""Golden-image regression tests.
+
+Small deterministic renders compared against checked-in PNGs (the repo's
+analogue of the reference's visual-verification binaries, SURVEY.md §4).
+Regenerate after INTENTIONAL image changes with:
+
+    python -m tests.test_golden --regen
+"""
+
+import os
+
+import numpy as np
+
+import voidin_tpu as vt
+from voidin_tpu.core import mathx
+from voidin_tpu.framework.renderer import Renderer
+from voidin_tpu.passes.raster import RasterConfig
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+W, H = 160, 96
+CFG = RasterConfig(
+    width=W,
+    height=H,
+    tri_capacity=1 << 14,
+    pair_capacity=1 << 16,
+    tile_tri_capacity=128,
+    interpret=True,
+)
+
+
+def _deferred_scene():
+    w = vt.World()
+    w.lights.add_point_light([0, 2.5, 0], 14.0, [1.0, 0.95, 0.9])
+    w.add_area_light(
+        [1, 1, 1],
+        6.0,
+        (4.0, 4.0),
+        np.asarray(
+            mathx.from_translation([0, 6, 2])
+            @ mathx.from_rotation_x(np.float32(-np.pi / 4))
+        ),
+    )
+    red = w.materials.add(albedo=w.textures.add(
+        np.array([[[200, 60, 50, 255]]], np.uint8), srgb=True))
+    grey = w.materials.add(albedo=w.textures.add(
+        np.array([[[150, 150, 150, 255]]], np.uint8), srgb=True))
+    for i in range(5):
+        a = 2 * np.pi * i / 5
+        t = mathx.from_translation([2.2 * np.cos(a), 0.5, -6 + 2.2 * np.sin(a)])
+        w.instances.add(np.asarray(t), vt.mesh.SPHERE_10_MESH, red if i % 2 else grey)
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -1, -6]) @ mathx.from_scale(30.0)),
+        vt.mesh.HORIZONTAL_PLANE_MESH,
+        grey,
+    )
+    return w
+
+
+def _render_deferred():
+    w = _deferred_scene()
+    r = Renderer(w.device(), CFG, enable_taa=False)
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0, aspect=W / H)
+    return np.asarray(r.render(cam))
+
+
+def _render_taa():
+    w = _deferred_scene()
+    r = Renderer(w.device(), CFG, enable_taa=True)
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0, aspect=W / H)
+    img = None
+    for _ in range(3):
+        img = r.render(cam)
+    return np.asarray(img)
+
+
+def _render_rt():
+    w = _deferred_scene()
+    r = Renderer(w.device(with_tlas=True), CFG, enable_taa=False,
+                 enable_rt_shadows=True)
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0, aspect=W / H)
+    return np.asarray(r.render(cam))
+
+
+CASES = {
+    "deferred": _render_deferred,
+    "taa3": _render_taa,
+    "rt_shadows": _render_rt,
+}
+
+
+def _compare(name, img):
+    from voidin_tpu.io.image import load_image, save_png
+
+    path = os.path.join(GOLDEN_DIR, f"{name}.png")
+    assert np.isfinite(img).all()
+    if not os.path.exists(path):
+        raise AssertionError(
+            f"golden {path} missing — run python -m tests.test_golden --regen"
+        )
+    want = load_image(path)[..., :3].astype(np.float32) / 255.0
+    got = np.clip(img, 0, 1)
+    diff = np.abs(got - want).mean()
+    assert diff < 5e-3, f"{name}: mean diff {diff}"
+
+
+def test_golden_deferred():
+    _compare("deferred", _render_deferred())
+
+
+def test_golden_taa():
+    _compare("taa3", _render_taa())
+
+
+def test_golden_rt_shadows():
+    _compare("rt_shadows", _render_rt())
+
+
+if __name__ == "__main__":
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if "--regen" in sys.argv:
+        from voidin_tpu.io.image import save_png
+
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for name, fn in CASES.items():
+            save_png(os.path.join(GOLDEN_DIR, f"{name}.png"), fn())
+            print("wrote", name)
