@@ -1,0 +1,85 @@
+"""Aux framework components: input map, pipeline hot-reload, HUD, blit."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from voidin_tpu.framework.input import (
+    CameraController,
+    Input,
+    KeyboardMap,
+    default_keymap,
+)
+from voidin_tpu.framework.pipeline import PipelineCache
+from voidin_tpu.passes.blit import downsample2x, generate_mipmaps, present
+from voidin_tpu.passes.hud import draw_hud, text_bitmap
+
+
+def test_input_just_pressed_edges():
+    inp = Input()
+    inp.press("w")
+    assert inp.was_just_pressed("w")
+    inp.tick()
+    assert inp.is_held("w") and not inp.was_just_pressed("w")
+    inp.release("w")
+    assert not inp.is_held("w")
+
+
+def test_keymap_accumulation_and_clamp():
+    m = KeyboardMap().bind("w", "fwd", 1.0).bind("s", "fwd", -1.0).bind(
+        "x", "fwd", 5.0
+    )
+    inp = Input()
+    inp.press("w")
+    inp.press("x")
+    acts = m.map(inp)
+    assert acts["fwd"] == 1.0  # clamped from 6
+
+
+def test_camera_controller_moves():
+    import voidin_tpu as vt
+
+    cam = vt.Camera(position=[0, 0, 0], yaw=0.0, pitch=0.0)
+    ctl = CameraController(cam, speed=2.0)
+    inp = Input()
+    inp.press("w")
+    acts = default_keymap().map(inp)
+    ctl.update(acts, inp, dt=0.5)
+    assert cam.position[2] < -0.5  # moved forward (-z)
+
+
+def test_pipeline_cache_reload_keeps_good_version():
+    cache = PipelineCache()
+    state = {"v": 1}
+
+    def build():
+        v = state["v"]
+        if v == 99:
+            raise RuntimeError("bad shader")
+        return lambda x: x * v
+
+    f = cache.register("scale", build)
+    assert float(f(jnp.float32(2.0))) == 2.0
+    state["v"] = 3
+    assert cache.reload("scale")
+    assert float(f(jnp.float32(2.0))) == 6.0
+    state["v"] = 99
+    assert not cache.reload("scale")  # failed reload
+    assert float(f(jnp.float32(2.0))) == 6.0  # previous version kept
+
+
+def test_hud_draws_text():
+    img = jnp.zeros((64, 128, 3), jnp.float32)
+    out = draw_hud(img, "fps: 60.0")
+    assert float(out.max()) > 0.5
+    assert text_bitmap("123").shape[0] == 10  # 5 rows * scale 2
+
+
+def test_blit_mips_and_present():
+    img = jnp.ones((32, 32, 3), jnp.float32) * 0.5
+    mips = generate_mipmaps(img)
+    assert mips[-1].shape[0] == 1
+    np.testing.assert_allclose(np.asarray(downsample2x(img))[0, 0], 0.5, atol=1e-6)
+    u8 = present(img, srgb=True, to_uint8=True)
+    assert u8.dtype == jnp.uint8 and int(u8[0, 0, 0]) == 188  # srgb(0.5)*255

@@ -134,8 +134,13 @@ class App:
 
         save_png(path, self.step())
 
-    def run(self, frames: int, record_path: Optional[str] = None):
-        """Headless loop: `frames` fixed-timestep frames; optional mp4."""
+    def run(self, frames: int, record_path: Optional[str] = None,
+            hud: bool = False):
+        """Headless loop: `frames` fixed-timestep frames; optional mp4.
+
+        `hud=True` burns an FPS readout into recorded frames (host-side —
+        the egui debug window equivalent, model.rs:221-228)."""
+        fps = 0.0
         if record_path:
             self.recorder.start(record_path)
         try:
@@ -143,7 +148,12 @@ class App:
                 img = self.step()
                 fps = self.fps.tick()
                 if record_path:
-                    self.recorder.push(np.asarray(img))
+                    frame = np.asarray(img)
+                    if hud:
+                        from ..passes.hud import draw_hud_np
+
+                        frame = draw_hud_np(frame, f"fps: {fps:5.1f}")
+                    self.recorder.push(frame)
             return fps
         finally:
             if record_path:

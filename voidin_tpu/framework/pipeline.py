@@ -1,0 +1,117 @@
+"""Pipeline cache + hot reload.
+
+TPU analogue of the reference's PipelineArena + Watcher
+(app/pipeline.rs:32-360, components/src/watcher.rs): pass functions are
+Python modules instead of WGSL files, so "shader hot reload" is module
+re-import + re-jit. The cache maps names to jitted callables, tracks which
+source file produced each entry, and a polling watcher swaps in freshly
+traced versions when a file changes — keeping the previous good version if
+the reload raises (pipeline.rs:304-311 semantics)."""
+
+from __future__ import annotations
+
+import importlib
+import logging
+import os
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import jax
+
+log = logging.getLogger("voidin.pipeline")
+
+
+@dataclass
+class _Entry:
+    build: Callable[[], Callable]  # returns a fresh (un-jitted) fn
+    fn: Callable  # current jitted fn
+    source: Optional[str] = None  # file watched for changes
+    mtime: float = 0.0
+
+
+class PipelineCache:
+    def __init__(self):
+        self._entries: Dict[str, _Entry] = {}
+        self._lock = threading.Lock()
+
+    def register(self, name: str, build: Callable[[], Callable],
+                 source: Optional[str] = None) -> Callable:
+        """Register a pass; `build()` must return the pure function to jit.
+
+        Returns a stable dispatcher that always calls the current version.
+        """
+        fn = jax.jit(build())
+        mtime = os.path.getmtime(source) if source else 0.0
+        with self._lock:
+            self._entries[name] = _Entry(build, fn, source, mtime)
+
+        def dispatch(*args, **kwargs):
+            return self._entries[name].fn(*args, **kwargs)
+
+        return dispatch
+
+    def reload(self, name: str) -> bool:
+        """Re-trace one pipeline; keep the old one on failure."""
+        e = self._entries[name]
+        try:
+            if e.source:
+                mod_name = _module_for(e.source)
+                if mod_name:
+                    importlib.reload(importlib.import_module(mod_name))
+            new_fn = jax.jit(e.build())
+            with self._lock:
+                e.fn = new_fn
+            log.info("reloaded pipeline %s", name)
+            return True
+        except Exception as exc:  # keep last good pipeline
+            log.error("reload of %s failed, keeping previous: %s", name, exc)
+            return False
+
+    def poll(self):
+        """Reload any pipeline whose source file changed."""
+        for name, e in list(self._entries.items()):
+            if not e.source or not os.path.exists(e.source):
+                continue
+            m = os.path.getmtime(e.source)
+            if m > e.mtime:
+                e.mtime = m
+                self.reload(name)
+
+    def names(self):
+        return list(self._entries)
+
+
+def _module_for(path: str) -> Optional[str]:
+    import sys
+
+    path = os.path.abspath(path)
+    for name, mod in list(sys.modules.items()):
+        if getattr(mod, "__file__", None) and os.path.abspath(mod.__file__) == path:
+            return name
+    return None
+
+
+class Watcher:
+    """Polling file watcher driving PipelineCache.poll (watcher.rs:11-58)."""
+
+    def __init__(self, cache: PipelineCache, interval: float = 0.5):
+        self.cache = cache
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            self.cache.poll()
+            time.sleep(self.interval)
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join()
