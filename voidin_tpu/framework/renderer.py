@@ -179,7 +179,9 @@ class Renderer:
                 enable_post=enable_post,
                 enable_rt_shadows=enable_rt_shadows,
                 mesh=mesh,
-            )
+            ),
+            # scene and frame state are consumed and re-emitted every frame
+            donate_argnums=(0, 3),
         )
 
     def render(self, camera: Camera, dt: float = 1.0 / 60.0) -> jnp.ndarray:

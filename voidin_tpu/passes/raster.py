@@ -157,27 +157,31 @@ def triangle_setup(
 
     draw_slot, local_tri, valid = segment_ids_from_counts(n_tris, cap)
 
-    # One packed per-draw record -> one gather for all draw-level fields.
-    draw_rec = jnp.stack(
+    # One fat per-draw record (mvp + offsets + instance id) -> a single
+    # 96 B gather per work item serves ALL draw-level data (gathers are
+    # row-rate bound; width is nearly free).
+    view_proj = jnp.asarray(camera.projection) @ jnp.asarray(camera.view)
+    mvp = fastmath.compose_mat4(view_proj, instances.transform)  # (N_inst,4,4)
+    n_draws = inst_ids.shape[0]
+    draw_rec = jnp.concatenate(
         [
-            safe_inst,
-            meshes.base_index[mesh_ids] // 3,  # triangle-pool base
-            meshes.base_index[mesh_ids],
+            mvp.reshape(-1, 16)[safe_inst],
+            (meshes.base_index[mesh_ids] // 3).astype(jnp.float32)[:, None],
+            meshes.base_index[mesh_ids].astype(jnp.float32)[:, None],
+            safe_inst.astype(jnp.float32)[:, None],
+            jnp.zeros((n_draws, 5), jnp.float32),
         ],
         axis=-1,
-    )  # (N, 3) i32
-    rec = draw_rec[draw_slot]  # (cap, 3)
-    inst = jnp.where(valid, rec[:, 0], 0)
-    tri_pool = rec[:, 1] + local_tri
-    idx_start = rec[:, 2] + 3 * local_tri
+    )  # (N, 24) f32
+    rec = draw_rec[draw_slot]  # (cap, 24)
+    inst = jnp.where(valid, rec[:, 18].astype(jnp.int32), 0)
+    tri_pool = rec[:, 16].astype(jnp.int32) + local_tri
+    idx_start = rec[:, 17].astype(jnp.int32) + 3 * local_tri
 
     # One 36 B de-indexed corner row per triangle.
     pos = meshes.tri_pos[jnp.where(valid, tri_pool, 0)].reshape(cap, 3, 3)
 
-    # One 64 B matrix row per triangle (mvp precomposed per instance).
-    view_proj = jnp.asarray(camera.projection) @ jnp.asarray(camera.view)
-    mvp = fastmath.compose_mat4(view_proj, instances.transform)  # (N_inst,4,4)
-    m = mvp.reshape(-1, 16)[inst].reshape(cap, 4, 4)
+    m = rec[:, :16].reshape(cap, 4, 4)
     clip = fastmath.mat4_point4(m[:, None, :, :], pos)  # (cap, 3, 4)
 
     # --- near-plane clipping (s = w - z > 0) ----------------------------
@@ -226,37 +230,46 @@ def triangle_setup(
 
     cum = jnp.cumsum(n_tris)
     tri_total = jnp.minimum(cum[-1], cap)
-    extra_rank = jnp.cumsum(needs2.astype(jnp.int32)) - 1
-    dest = jnp.where(needs2, tri_total + extra_rank, cap)
-    in_cap = dest < cap
-    overflow = jnp.maximum(cum[-1] - cap, 0) + jnp.sum(
-        (needs2 & ~in_cap).astype(jnp.int32)
-    )
-    e = jnp.arange(cap, dtype=jnp.int32)
-    dest = jnp.where(in_cap, dest, cap + e)
 
-    # Pack records FIRST, then compact the clipped extras with two
-    # row-scatters (scatters, like gathers, are row-rate bound: packing 16
-    # fields per row costs ~the same as one thin scatter).
-    def pack_raster(sxv, syv, zv, alivev):
-        idf = jnp.where(alivev, e.astype(jnp.float32), -1.0)
+    # Clipped second-triangles go to a SMALL separate region selected by
+    # sort + gather. (A capacity-wide scatter of 16-float rows costs
+    # ~65 ms/frame on TPU — scatters, unlike gathers, are not row-rate
+    # flat. Extras are rare; give them cap/8 slots.)
+    ecap = cap // 8
+    n_extras = jnp.sum(needs2.astype(jnp.int32))
+    overflow = jnp.maximum(cum[-1] - cap, 0) + jnp.maximum(n_extras - ecap, 0)
+    extra_src = jnp.argsort(~needs2, stable=True)[:ecap]  # parent indices
+    valid_extra = jnp.arange(ecap) < jnp.minimum(n_extras, ecap)
+
+    def pack_raster(sxv, syv, zv, alivev, ids):
+        idf = jnp.where(alivev, ids.astype(jnp.float32), -1.0)
+        n = sxv.shape[0]
         return jnp.concatenate(
             [
                 sxv,
                 syv,
                 zv,
                 idf[:, None],
-                jnp.zeros((cap, fr.RECORD_F - 10), jnp.float32),
+                jnp.zeros((n, fr.RECORD_F - 10), jnp.float32),
             ],
             axis=-1,
         )
 
-    rec1 = pack_raster(sx1, sy1, z1, alive1)
-    rec2 = pack_raster(sx2, sy2, z2, alive2)
-    raster_rec = rec1.at[dest].set(rec2, mode="drop", unique_indices=True)
+    e = jnp.arange(cap, dtype=jnp.int32)
+    rec1 = pack_raster(sx1, sy1, z1, alive1, e)
+    extra_ids = cap + jnp.arange(ecap, dtype=jnp.int32)
+    rec2 = pack_raster(
+        sx2[extra_src],
+        sy2[extra_src],
+        z2[extra_src],
+        alive2[extra_src] & valid_extra,
+        extra_ids,
+    )
+    raster_rec = jnp.concatenate([rec1, rec2])  # (cap + ecap, 16)
 
     # Resolve record: ORIGINAL clip coords + instance + idx_start as f32
-    # (exact for values < 2^24; asserted at scene build).
+    # (exact for values < 2^24; asserted at scene build). Extras share the
+    # parent's record.
     resolve_rec = jnp.concatenate(
         [
             clip.reshape(cap, 12),
@@ -266,9 +279,9 @@ def triangle_setup(
         ],
         axis=-1,
     )
-    resolve_rec = resolve_rec.at[dest].set(resolve_rec, mode="drop", unique_indices=True)
+    resolve_rec = jnp.concatenate([resolve_rec, resolve_rec[extra_src]])
 
-    work_total = jnp.minimum(tri_total + jnp.sum(needs2.astype(jnp.int32)), cap)
+    work_total = jnp.minimum(tri_total, cap) + jnp.minimum(n_extras, ecap)
     sx = raster_rec[:, fr.F_SX : fr.F_SX + 3]
     sy = raster_rec[:, fr.F_SY : fr.F_SY + 3]
 

@@ -97,8 +97,8 @@ def ltc_matrix(scene: SceneData, nor, view, roughness):
     ndotv = jnp.clip(jnp.sum(nor * view, axis=-1), 0.0, 1.0)
     uv = jnp.stack([roughness, jnp.sqrt(1.0 - ndotv)], axis=-1)
     uv = uv * LUT_SCALE + LUT_BIAS
-    t1 = sample_lut_bilinear(scene.ltc1_quads, 64, uv)  # (..., 4)
-    t2 = sample_lut_bilinear(scene.ltc2_quads, 64, uv)
+    t12 = sample_lut_bilinear(scene.ltc12_quads, 64, uv, channels=8)
+    t1, t2 = t12[..., :4], t12[..., 4:]
     # WGSL columns (t1.x,0,t1.y),(0,1,0),(t1.z,0,t1.w) -> row-major matrix.
     zero = jnp.zeros_like(t1[..., 0])
     one = jnp.ones_like(zero)

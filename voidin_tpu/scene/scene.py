@@ -44,6 +44,8 @@ class SceneData:
     ltc2: jnp.ndarray  # (64, 64, 4) f32
     ltc1_quads: jnp.ndarray  # (64*64, 16) f32 packed 2x2 quads
     ltc2_quads: jnp.ndarray  # (64*64, 16) f32
+    # both tables' quads side by side: one 128B gather serves t1+t2
+    ltc12_quads: jnp.ndarray  # (64*64, 32) f32
     tlas: Optional[TlasData] = None
 
 
@@ -101,5 +103,8 @@ class World:
             ltc2=jnp.asarray(ltc2),
             ltc1_quads=jnp.asarray(pack_lut_quads(ltc1)),
             ltc2_quads=jnp.asarray(pack_lut_quads(ltc2)),
+            ltc12_quads=jnp.asarray(
+                np.concatenate([pack_lut_quads(ltc1), pack_lut_quads(ltc2)], -1)
+            ),
             tlas=self.build_tlas() if with_tlas else None,
         )

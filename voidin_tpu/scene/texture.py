@@ -265,8 +265,13 @@ def pack_lut_quads(table: np.ndarray) -> np.ndarray:
     return _quad_rows(np.asarray(table, np.float32), wrap=False).reshape(-1, 16)
 
 
-def sample_lut_bilinear(quads: jnp.ndarray, width: int, uv: jnp.ndarray):
-    """One-gather clamp-to-edge bilinear fetch from a packed f32 LUT."""
+def sample_lut_bilinear(quads: jnp.ndarray, width: int, uv: jnp.ndarray,
+                        channels: int = 4):
+    """One-gather clamp-to-edge bilinear fetch from a packed f32 LUT.
+
+    `channels` > 4 samples several tables packed side by side (their quad
+    rows concatenated along the last axis); corners interleave per table.
+    """
     h = quads.shape[0] // width
     fx = uv[..., 0] * width - 0.5
     fy = uv[..., 1] * h - 0.5
@@ -277,6 +282,17 @@ def sample_lut_bilinear(quads: jnp.ndarray, width: int, uv: jnp.ndarray):
     x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     q = quads[y0i * width + x0i]
+    if channels != 4:
+        # (..., ntab*16) -> per-corner (..., ntab*4)
+        ntab = channels // 4
+        qs = q.reshape(*q.shape[:-1], ntab, 4, 4)  # (..., tab, corner, rgba)
+        corners = [
+            qs[..., :, c, :].reshape(*q.shape[:-1], ntab * 4) for c in range(4)
+        ]
+        c00, c10, c01, c11 = corners
+        top = c00 + (c10 - c00) * tx
+        bot = c01 + (c11 - c01) * tx
+        return top + (bot - top) * ty
     c00, c10, c01, c11 = q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
     top = c00 + (c10 - c00) * tx
     bot = c01 + (c11 - c01) * tx
