@@ -47,6 +47,18 @@ def build_world(n_instances=10_000, seed=0):
     # mesh mix sized so ~10k instances yield ~1.5M pooled triangles —
     # heavier than the reference's own scenes (Sponza ~260k tris) while
     # staying within one frame's capacity budget
+    # real textures so texture-fetch cost is represented (pool sizes to
+    # content; checkerboard + noise at 256^2)
+    yy, xx = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    checker = ((xx // 16 + yy // 16) % 2 * 155 + 100).astype(np.uint8)
+    tex_checker = w.textures.add(
+        np.stack([checker, checker // 2 + 64, checker // 3 + 42], -1), srgb=True
+    )
+    noise = rng.integers(60, 220, (256, 256, 3)).astype(np.uint8)
+    tex_noise = w.textures.add(noise, srgb=True)
+    mat_checker = w.materials.add(albedo=tex_checker)
+    mat_noise = w.materials.add(albedo=tex_noise)
+
     sphere2 = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 2))  # ~250 tris
     sphere3 = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 3))  # ~600 tris
     cube = w.meshes.add(vt.mesh.make_cube_mesh(1.5))  # 12 tris
@@ -62,7 +74,9 @@ def build_world(n_instances=10_000, seed=0):
             float(rng.uniform(0.5, 1.5))
         )
         mid = int(rng.integers(0, len(meshes)))
-        idx = w.instances.add(np.asarray(t), meshes[mid], 0)
+        idx = w.instances.add(
+            np.asarray(t), meshes[mid], mat_checker if i % 2 else mat_noise
+        )
         if i % 50 == 0:
             moving.append(idx)
     # ground

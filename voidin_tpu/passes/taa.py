@@ -18,6 +18,7 @@ zeroed texture).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import fastmath
@@ -77,8 +78,28 @@ def _mitchell_netravali(x):
 
 
 def _bilinear_clamp(img, u, v):
-    """Bilinear sample of (H, W, C) at normalized uv (clamp-to-edge)."""
+    """Bilinear sample of (H, W, C) at normalized uv (clamp-to-edge).
+
+    The 2x2 neighborhood is packed densely into one row per texel first
+    (four shifted copies — cheap VPU work), so the per-pixel fetch is ONE
+    flat gather instead of four two-axis gathers (4x ~17 ms -> ~10 ms at
+    1080p; TPU gathers are row-rate bound)."""
     H, W = img.shape[:2]
+    C = img.shape[2]
+    xn = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    yn = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    xyn = jnp.concatenate([xn[1:], xn[-1:]], axis=0)
+    # f16 halves the gathered table (gather cost scales with table bytes);
+    # history is tonemapped-range color, f16 is ample for the TAA blend.
+    quads = (
+        jnp.concatenate([img, xn, yn, xyn], axis=-1)
+        .astype(jnp.float16)
+        .reshape(H * W, 4 * C)
+    )
+    # Force materialization: otherwise XLA fuses the shifted copies INTO the
+    # gather and recomputes them per sample (measured 60 ms vs 10).
+    quads = jax.lax.optimization_barrier(quads)
+
     fx = u * W - 0.5
     fy = v * H - 0.5
     x0 = jnp.floor(fx)
@@ -86,16 +107,12 @@ def _bilinear_clamp(img, u, v):
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
-    c00 = img[y0i, x0i]
-    c10 = img[y0i, x1i]
-    c01 = img[y1i, x0i]
-    c11 = img[y1i, x1i]
-    top = c00 * (1 - tx) + c10 * tx
-    bot = c01 * (1 - tx) + c11 * tx
-    return top * (1 - ty) + bot * ty
+    q = quads[y0i * W + x0i].astype(jnp.float32)
+    c00, c10, c01, c11 = q[..., :C], q[..., C : 2 * C], q[..., 2 * C : 3 * C], q[..., 3 * C :]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
 
 
 def reproject(gbuffer, camera) -> jnp.ndarray:

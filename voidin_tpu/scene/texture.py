@@ -87,6 +87,24 @@ def _downsample2x2(img: np.ndarray) -> np.ndarray:
     return img[: nh * 2].reshape(nh, 2, 1, -1).mean(axis=1)
 
 
+def _upsample_to_child(parent: np.ndarray, ch: int, cw: int) -> np.ndarray:
+    """Bilinearly sample the parent level at this level's texel centers."""
+    ph, pw = parent.shape[:2]
+    if ph == ch and pw == cw:
+        return parent
+    py = np.clip((np.arange(ch) + 0.5) * ph / ch - 0.5, 0, ph - 1)
+    px = np.clip((np.arange(cw) + 0.5) * pw / cw - 0.5, 0, pw - 1)
+    y0 = np.floor(py).astype(int)
+    x0 = np.floor(px).astype(int)
+    y1 = np.minimum(y0 + 1, ph - 1)
+    x1 = np.minimum(x0 + 1, pw - 1)
+    ty = (py - y0)[:, None, None]
+    tx = (px - x0)[None, :, None]
+    a = parent[y0][:, x0] * (1 - tx) + parent[y0][:, x1] * tx
+    b = parent[y1][:, x0] * (1 - tx) + parent[y1][:, x1] * tx
+    return a * (1 - ty) + b * ty
+
+
 def _quad_rows(img: np.ndarray, wrap: bool) -> np.ndarray:
     """(h, w, 4) -> (h, w, 16): each texel's 2x2 neighborhood, edge-baked."""
     if wrap:
@@ -102,7 +120,11 @@ def _quad_rows(img: np.ndarray, wrap: bool) -> np.ndarray:
 
 @struct.dataclass
 class TexturePoolData:
-    quads: jnp.ndarray  # (T * TOTAL, 16) u8 — 2x2 neighborhoods, wrap baked
+    # (T * TOTAL, 32) u8 per texel: [2x2 quad of this level | 2x2 quad of
+    # the parent level resampled at this level's texel centers] — one 32 B
+    # gather serves a full trilinear sample (the resampled-parent term is a
+    # slightly wider kernel than true parent bilinear; visually identical).
+    quads: jnp.ndarray
     size: jnp.ndarray  # (T, 2) i32 (w, h) at level 0
     max_lod: jnp.ndarray  # (T,) f32 highest meaningful mip per texture
     srgb: jnp.ndarray  # (T,) bool — decode rgb after filtering
@@ -157,35 +179,50 @@ class TexturePool:
         return len(self.images) - 1
 
     def device(self) -> TexturePoolData:
-        S = self.base_size
+        # Size the pool to the largest ACTUAL texture (pow2): gather cost
+        # grows with table size, and a pool of 1x1 debug textures must not
+        # pay a 1024^2-mip-chain table.
+        largest = max(max(i.shape[0], i.shape[1]) for i in self.images)
+        S = 1
+        while S < largest:
+            S *= 2
+        S = min(S, self.base_size)
         sizes = _mip_sizes(S)
         offsets = np.cumsum([0] + [s * s for s in sizes])[:-1]
         total = int(sum(s * s for s in sizes))
         T = len(self.images)
-        quads = np.zeros((T, total, 16), np.uint8)
+        quads = np.zeros((T, total, 32), np.uint8)
         wh = np.zeros((T, 2), np.int32)
         max_lod = np.zeros(T, np.float32)
         for t, img in enumerate(self.images):
             h, w = img.shape[:2]
             wh[t] = (w, h)
             max_lod[t] = max(0, int(np.floor(np.log2(max(min(w, h), 1)))))
-            level = img.astype(np.float32)
+            # full level chain first
+            levels = [img.astype(np.float32)]
+            while min(levels[-1].shape[0], levels[-1].shape[1]) > 1:
+                levels.append(_downsample2x2(levels[-1]))
             for li, s in enumerate(sizes):
+                if li >= len(levels):
+                    # propagate the 1x1 tail
+                    row = quads[t, offsets[li - 1]]
+                    sj = sizes[li]
+                    quads[t, offsets[li] : offsets[li] + sj * sj] = row
+                    continue
+                level = levels[li]
                 lh, lw = level.shape[:2]
-                if lh == 0 or lw == 0:
-                    break
+                parent = levels[min(li + 1, len(levels) - 1)]
+                par_rs = _upsample_to_child(parent, lh, lw)
                 lvl_u8 = (level + 0.5).astype(np.uint8)
-                q = _quad_rows(lvl_u8, wrap=True)
-                block = quads[t, offsets[li] : offsets[li] + s * s].reshape(s, s, 16)
+                par_u8 = (par_rs + 0.5).astype(np.uint8)
+                q = np.concatenate(
+                    [_quad_rows(lvl_u8, wrap=True), _quad_rows(par_u8, wrap=True)],
+                    axis=-1,
+                )
+                block = quads[t, offsets[li] : offsets[li] + s * s].reshape(s, s, 32)
                 block[:lh, :lw] = q[:s, :s]
-                if lh == 1 and lw == 1:
-                    for lj in range(li + 1, len(sizes)):
-                        sj = sizes[lj]
-                        quads[t, offsets[lj] : offsets[lj] + sj * sj] = q.reshape(16)
-                    break
-                level = _downsample2x2(level)
         return TexturePoolData(
-            quads=jnp.asarray(quads.reshape(T * total, 16)),
+            quads=jnp.asarray(quads.reshape(T * total, 32)),
             size=jnp.asarray(wh),
             max_lod=jnp.asarray(max_lod),
             srgb=jnp.asarray(np.asarray(self.srgb_flags, bool)),
@@ -200,10 +237,12 @@ class TexturePool:
 # ---------------------------------------------------------------------------
 
 
-def _bilinear_level(pool: TexturePoolData, tex_id, uv, level):
-    """One quad-gather bilinear sample of a (dynamic) mip level, repeat wrap.
+def _bilinear_level(pool: TexturePoolData, tex_id, uv, level, lod_frac=None):
+    """One quad-gather (tri|bi)linear sample of a (dynamic) mip level.
 
-    Returns raw (source-encoded) color in [0, 1].
+    With `lod_frac`, blends toward the parent-resampled quad in the same
+    32 B row — a full trilinear sample from ONE gather. Returns raw
+    (source-encoded) color in [0, 1].
     """
     level = level.astype(jnp.int32)
     offsets = jnp.asarray(pool.level_offset, jnp.int32)
@@ -223,11 +262,22 @@ def _bilinear_level(pool: TexturePoolData, tex_id, uv, level):
     y0i = jnp.mod(y0.astype(jnp.int32), lh)
 
     idx = tex_id * pool.total + off + y0i * stride + x0i
-    q = pool.quads[idx].astype(jnp.float32) * (1.0 / 255.0)  # (..., 16)
-    c00, c10, c01, c11 = q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
-    top = c00 + (c10 - c00) * tx
-    bot = c01 + (c11 - c01) * tx
-    return top + (bot - top) * ty
+    q = pool.quads[idx].astype(jnp.float32) * (1.0 / 255.0)  # (..., 32)
+
+    def bilin(base):
+        c00 = q[..., base : base + 4]
+        c10 = q[..., base + 4 : base + 8]
+        c01 = q[..., base + 8 : base + 12]
+        c11 = q[..., base + 12 : base + 16]
+        top = c00 + (c10 - c00) * tx
+        bot = c01 + (c11 - c01) * tx
+        return top + (bot - top) * ty
+
+    child = bilin(0)
+    if lod_frac is None:
+        return child
+    parent = bilin(16)
+    return child + (parent - child) * lod_frac[..., None]
 
 
 def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None, trilinear=True):
@@ -241,15 +291,9 @@ def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None, trilinear=True
         lod = jnp.clip(lod, 0.0, pool.max_lod[tex_id])
         if trilinear:
             l0 = jnp.floor(lod)
-            frac = (lod - l0)[..., None]
-            c0 = _bilinear_level(pool, tex_id, uv, l0.astype(jnp.int32))
-            c1 = _bilinear_level(
-                pool,
-                tex_id,
-                uv,
-                jnp.minimum(l0 + 1, pool.max_lod[tex_id]).astype(jnp.int32),
+            raw = _bilinear_level(
+                pool, tex_id, uv, l0.astype(jnp.int32), lod_frac=lod - l0
             )
-            raw = c0 + (c1 - c0) * frac
         else:
             raw = _bilinear_level(
                 pool, tex_id, uv, jnp.round(lod).astype(jnp.int32)
