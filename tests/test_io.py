@@ -71,3 +71,26 @@ def test_obj_negative_indices(tmp_path):
     groups = import_obj(w, str(p))
     info = w.meshes.mesh_info[groups[0][0]]
     assert info["index_count"] == 3
+
+
+def test_scene_snapshot_roundtrip(tmp_path):
+    import jax
+    import numpy as np
+
+    from voidin_tpu.core import mathx
+    from voidin_tpu.io.snapshot import load_scene, save_scene
+
+    w = vt.World()
+    w.lights.add_point_light([0, 1, 0], 5.0, [1, 1, 1])
+    w.instances.add(np.asarray(mathx.from_translation([0, 0, -4])),
+                    vt.mesh.SPHERE_1_MESH, 0)
+    scene = w.device(with_tlas=True)
+    cam = vt.Camera(position=[1, 2, 3], yaw=10.0, pitch=-5.0, aspect=1.5)
+    p = tmp_path / "scene.npz"
+    save_scene(str(p), scene, cam)
+    scene2, cam2 = load_scene(str(p))
+    for a, b in zip(jax.tree_util.tree_leaves(scene),
+                    jax.tree_util.tree_leaves(scene2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert cam2.aspect == 1.5 and cam2.yaw == 10.0
+    np.testing.assert_allclose(cam2.position, [1, 2, 3])

@@ -1,0 +1,113 @@
+"""Scene snapshot: serialize device scene state + camera to npz.
+
+SURVEY.md §5.4: the reference has no checkpointing (scenes rebuild from
+assets each run); for deterministic benchmark replay and image-diff
+validation we serialize the frozen SceneData pytree and camera to one npz.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..scene.scene import SceneData
+
+
+def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    # static aux data needed to rebuild (texture pool statics)
+    tex = scene.textures
+    payload["aux_level_offset"] = np.asarray(tex.level_offset, np.int64)
+    payload["aux_base_size"] = np.asarray([tex.base_size, tex.total], np.int64)
+    payload["aux_has_tlas"] = np.asarray([scene.tlas is not None], bool)
+    if camera is not None:
+        payload["cam"] = np.asarray(
+            [*camera.position, camera.yaw, camera.pitch, camera.aspect], np.float32
+        )
+    np.savez_compressed(path, **payload)
+
+
+def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
+    from ..scene.instance import InstanceData
+    from ..scene.light import LightData
+    from ..scene.mesh import MeshPoolData
+    from ..scene.material import MaterialData
+    from ..scene.scene import TlasData
+    from ..scene.texture import TexturePoolData
+
+    data = np.load(path, allow_pickle=False)
+    # Rebuild the treedef from a structurally-identical dummy: field order
+    # of flax dataclasses is deterministic, so flatten order matches.
+    has_tlas = bool(data["aux_has_tlas"][0])
+
+    leaves = []
+    i = 0
+    while f"leaf_{i}" in data:
+        leaves.append(jnp.asarray(data[f"leaf_{i}"]))
+        i += 1
+
+    # Build a skeleton SceneData with matching treedef.
+    def fields(cls):
+        import dataclasses
+
+        return [f.name for f in dataclasses.fields(cls)]
+
+    # Reconstruct by consuming leaves in flatten order (flax dataclasses
+    # flatten pytree fields in declaration order).
+    it = iter(leaves)
+
+    def take(cls, static=None):
+        import dataclasses
+
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if static and f.name in static:
+                kwargs[f.name] = static[f.name]
+            else:
+                kwargs[f.name] = next(it)
+        return cls(**kwargs)
+
+    meshes = take(MeshPoolData)
+    instances = take(InstanceData)
+    materials = take(MaterialData)
+    lights = take(LightData)
+    textures = take(
+        TexturePoolData,
+        static=dict(
+            level_offset=tuple(int(o) for o in data["aux_level_offset"]),
+            base_size=int(data["aux_base_size"][0]),
+            total=int(data["aux_base_size"][1]),
+        ),
+    )
+    ltc1 = next(it)
+    ltc2 = next(it)
+    ltc1_quads = next(it)
+    ltc2_quads = next(it)
+    ltc12_quads = next(it)
+    tlas = take(TlasData) if has_tlas else None
+
+    scene = SceneData(
+        meshes=meshes,
+        instances=instances,
+        materials=materials,
+        lights=lights,
+        textures=textures,
+        ltc1=ltc1,
+        ltc2=ltc2,
+        ltc1_quads=ltc1_quads,
+        ltc2_quads=ltc2_quads,
+        ltc12_quads=ltc12_quads,
+        tlas=tlas,
+    )
+    camera = None
+    if "cam" in data:
+        c = data["cam"]
+        camera = Camera(
+            position=c[:3], yaw=float(c[3]), pitch=float(c[4]), aspect=float(c[5])
+        )
+    return scene, camera
