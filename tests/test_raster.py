@@ -131,7 +131,7 @@ def test_visibility_mask_conservative():
     )
     vis = raster.rasterize(scene.meshes, scene.instances, draws_all, cam, CFG)
     tid = np.asarray(vis.tri_id)
-    inst_of_tri = np.asarray(vis.resolve_rec[:, 12]).astype(np.int32)
+    inst_of_tri = np.asarray(vis.resolve_rec[:, 9]).astype(np.int32)
     covered = np.unique(inst_of_tri[tid[tid >= 0]])
     for i in covered:
         assert mask[i], f"instance {i} rasterized but was culled"

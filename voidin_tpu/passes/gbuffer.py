@@ -34,7 +34,8 @@ class VisBuffer:
 
     tri_id: jnp.ndarray  # (H, W) i32, -1 = background
     depth: jnp.ndarray  # (H, W) f32 reverse-Z
-    # Packed per-work-item resolve record (T, 16) f32:
-    # [original clip coords (12), instance id, idx_start, pad(2)]
+    # Packed per-work-item resolve record (T, 12) f32:
+    # [original clip x/y/w per vertex (9), instance id, idx_start, pad]
+    # (clip z == znear for the infinite reverse-Z projection — never stored)
     resolve_rec: jnp.ndarray
     overflow: jnp.ndarray  # () i32 count of binning/setup overflows

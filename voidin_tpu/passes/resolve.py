@@ -41,18 +41,18 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config) -> GBuffer
     tid = jnp.maximum(vis.tri_id, 0)
     hit = vis.tri_id >= 0
 
-    # Gather 1: packed resolve record.
-    rec = vis.resolve_rec[tid]  # (H, W, 16)
-    cl = rec[..., :12].reshape(H, W, 3, 4)
-    inst = rec[..., 12].astype(jnp.int32)
-    tri_pool = (rec[..., 13] / 3.0).astype(jnp.int32)  # idx_start / 3
+    # Gather 1: packed resolve record [x,y,w per vertex | inst | idx_start].
+    rec = vis.resolve_rec[tid]  # (H, W, 12)
+    cl = rec[..., :9].reshape(H, W, 3, 3)
+    inst = rec[..., 9].astype(jnp.int32)
+    tri_pool = (rec[..., 10] / 3.0).astype(jnp.int32)  # idx_start / 3
 
     # Perspective-correct barycentrics via 2D homogeneous coordinates:
     # b ∝ cross(u, v) with u_i = c_i.x - x*c_i.w, v_i = c_i.y - y*c_i.w.
     x_ndc = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0)[None, :]
     y_ndc = (1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0)[:, None]
-    u = cl[..., 0] - x_ndc[..., None] * cl[..., 3]  # (H, W, 3)
-    v = cl[..., 1] - y_ndc[..., None] * cl[..., 3]
+    u = cl[..., 0] - x_ndc[..., None] * cl[..., 2]  # (H, W, 3)
+    v = cl[..., 1] - y_ndc[..., None] * cl[..., 2]
     b = jnp.cross(u, v)
     bsum = jnp.sum(b, axis=-1, keepdims=True)
     sign = jnp.where(bsum < 0, -1.0, 1.0)
