@@ -83,3 +83,29 @@ def test_blit_mips_and_present():
     np.testing.assert_allclose(np.asarray(downsample2x(img))[0, 0], 0.5, atol=1e-6)
     u8 = present(img, srgb=True, to_uint8=True)
     assert u8.dtype == jnp.uint8 and int(u8[0, 0, 0]) == 188  # srgb(0.5)*255
+
+
+def test_ltc_polygon_annulus():
+    """Annulus (outer - inner) irradiance is positive and less than the
+    full outer disk; polygon evaluator agrees with evaluate_rect on a quad."""
+    import voidin_tpu as vt
+    from voidin_tpu.passes import shading
+
+    w = vt.World()
+    scene = w.device()
+    nor = jnp.array([[[0.0, 1.0, 0.0]]])
+    view = jnp.array([[[0.0, 0.7071, 0.7071]]])
+    pos = jnp.array([[[0.0, 0.0, 0.0]]])
+    ident = jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3))
+
+    outer = jnp.asarray(shading.ring_points([0, 3, 0], [0, 1, 0], 2.0, 16))
+    inner = jnp.asarray(shading.ring_points([0, 3, 0], [0, 1, 0], 1.0, 16))
+    d_out = shading.ltc_evaluate_polygon(scene, nor, view, pos, ident, outer)
+    d_in = shading.ltc_evaluate_polygon(scene, nor, view, pos, ident, inner)
+    assert float(d_out[0, 0]) > float(d_in[0, 0]) > 0.0
+
+    # quad through the polygon evaluator == evaluate_rect
+    pts = jnp.array([[-1, 3, -1], [1, 3, -1], [1, 3, 1], [-1, 3, 1]], jnp.float32)
+    a = shading.ltc_evaluate_polygon(scene, nor, view, pos, ident, pts)
+    b = shading.ltc_evaluate_rect(scene, nor, view, pos, ident, pts)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

@@ -320,3 +320,108 @@ def shade_raytraced(
         ((material_id == 0) & (depth > 0.0))[..., None], magenta, color
     )
     return jnp.maximum(color, 0.0)
+
+
+def ltc_evaluate_polygon(scene: SceneData, nor, view, pos, mminv, points,
+                         two_sided=False):
+    """N-vertex generalization of ltc_evaluate_rect (the reference's
+    ring_light demo integrates rings with specialized clipped-disk math,
+    src/bin/ring_light.wgsl; here a ring is outer polygon minus inner
+    polygon — exact by linearity of the edge integral).
+
+    points: (P, 3) static vertex count, counter-clockwise."""
+    P = points.shape[-2]
+    t1v = _normalize(view - nor * jnp.sum(view * nor, axis=-1, keepdims=True))
+    t2v = jnp.cross(nor, t1v)
+    basis = jnp.stack([t1v, t2v, nor], axis=-2)
+    minv = fastmath.mat3_mat3(mminv, basis)
+
+    rel = points[..., None, :, :] - pos[..., None, :]  # (..., P, 3)
+    Ln = jnp.stack(
+        [_normalize(fastmath.mat3_vec(minv, rel[..., p, :])) for p in range(P)],
+        axis=-2,
+    )
+    direction = points[..., 0, :] - pos
+    light_normal = jnp.cross(
+        points[..., 1, :] - points[..., 0, :],
+        points[..., P - 1, :] - points[..., 0, :],
+    )
+    behind = jnp.sum(direction * light_normal, axis=-1) < 0.0
+
+    vsum = 0.0
+    for p in range(P):
+        vsum = vsum + integrate_edge(Ln[..., p, :], Ln[..., (p + 1) % P, :])
+    length = jnp.linalg.norm(vsum, axis=-1)
+    z = vsum[..., 2] / jnp.maximum(length, 1e-20)
+    z = jnp.where(behind, -z, z)
+    uv = jnp.stack([z * 0.5 + 0.5, length], axis=-1) * LUT_SCALE + LUT_BIAS
+    scale = sample_lut_bilinear(scene.ltc2_quads, 64, uv)[..., 3]
+    total = length * scale
+    if not two_sided:
+        total = jnp.where(behind, 0.0, total)
+    return total
+
+
+def ring_points(center, normal_dir, radius, n=16):
+    """CCW n-gon approximating a disk boundary (host-side, numpy)."""
+    import numpy as np
+
+    normal_dir = np.asarray(normal_dir, np.float32)
+    normal_dir = normal_dir / np.linalg.norm(normal_dir)
+    up = np.array([0, 1, 0], np.float32)
+    if abs(np.dot(up, normal_dir)) > 0.99:
+        up = np.array([1, 0, 0], np.float32)
+    t = np.cross(up, normal_dir)
+    t /= np.linalg.norm(t)
+    b = np.cross(normal_dir, t)
+    a = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return (
+        np.asarray(center, np.float32)
+        + radius * (np.cos(a)[:, None] * t + np.sin(a)[:, None] * b)
+    ).astype(np.float32)
+
+
+def shade_ring_light(scene: SceneData, gbuffer: GBuffer, camera,
+                     ring_center, ring_normal, r_outer, r_inner,
+                     color=(1.0, 1.0, 1.0), intensity=4.0, albedo=None,
+                     segments=16):
+    """Deferred shading with one LTC ring light (ring_light demo parity:
+    annulus = outer disk minus inner disk)."""
+    import numpy as np
+
+    depth = gbuffer.depth
+    material_id = gbuffer.material
+    uv = encoding.unpack2x16float(gbuffer.normal_uv[..., 1])
+    nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
+    mats = scene.materials
+    mat_albedo = mats.albedo[material_id]
+    sizes = scene.textures.size[mat_albedo].astype(jnp.float32)
+    lod = uv_lod(uv, sizes[..., 0], sizes[..., 1])
+    if albedo is None:
+        albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
+    mr = sample_trilinear(
+        scene.textures, mats.metallic_roughness[material_id], uv, lod
+    )
+    pos = world_position_from_depth(depth, camera.clip_to_world)
+    rd = _normalize(jnp.asarray(camera.position)[:3] - pos)
+
+    outer = jnp.asarray(ring_points(ring_center, ring_normal, r_outer, segments))
+    inner = jnp.asarray(ring_points(ring_center, ring_normal, r_inner, segments))
+
+    roughness = jnp.clip(mr[..., 0], 0.0, 1.0)
+    minv, _t1, t2 = ltc_matrix(scene, nor, rd, roughness)
+    identity = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), minv.shape)
+
+    def annulus(mat):
+        return ltc_evaluate_polygon(
+            scene, nor, rd, pos, mat, outer
+        ) - ltc_evaluate_polygon(scene, nor, rd, pos, mat, inner)
+
+    diff = jnp.maximum(annulus(identity), 0.0)
+    spec = jnp.maximum(annulus(minv), 0.0) * t2[..., 0]
+
+    lcol = jnp.asarray(color, jnp.float32)
+    shaded = lcol * intensity * (spec[..., None] + albedo[..., :3] * diff[..., None])
+    ambient = albedo[..., :3] * 0.01
+    out = jnp.where((depth > 0)[..., None], ambient + shaded, 0.0)
+    return jnp.maximum(out, 0.0)
