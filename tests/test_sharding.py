@@ -1,0 +1,112 @@
+"""Multi-device sharding tests on the 8 virtual CPU devices (conftest).
+
+The sharded frame (screen-row data parallelism over a jax.sharding.Mesh,
+parallel/sharding.py) must produce the same image as the unsharded frame:
+the sharding constraints only tell XLA's SPMD partitioner how to split the
+dense per-pixel stages; they must not change any math.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import voidin_tpu as vt
+from voidin_tpu.core import mathx
+from voidin_tpu.framework.renderer import FrameState, Globals, render_frame
+from voidin_tpu.parallel.sharding import ROW_AXIS, make_mesh, shard_rows
+from voidin_tpu.passes.raster import RasterConfig
+
+WIDTH, HEIGHT = 256, 128  # 128 rows = 16 rows/device on 8 devices
+
+
+def _scene():
+    w = vt.World()
+    w.lights.add_point_light([0, 2.0, 0], 15.0, [1, 1, 1])
+    w.add_area_light(
+        [1, 1, 1],
+        7.0,
+        (5.0, 8.0),
+        np.asarray(
+            mathx.from_translation([0, 10, 15])
+            @ mathx.from_rotation_x(np.float32(-np.pi / 4))
+        ),
+    )
+    moving = []
+    for i in range(6):
+        a = 2 * np.pi * i / 6
+        t = mathx.from_translation([3.5 * np.cos(a), 1 + 3.5 * np.sin(a), -10.0])
+        moving.append(w.instances.add(np.asarray(t), vt.mesh.SPHERE_1_MESH, 0))
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -3, -10]) @ mathx.from_scale(50.0)),
+        vt.mesh.HORIZONTAL_PLANE_MESH,
+        0,
+    )
+    cfg = RasterConfig(
+        width=WIDTH,
+        height=HEIGHT,
+        tri_capacity=1 << 12,
+        pair_capacity=1 << 13,
+        tile_tri_capacity=64,
+        backend="xla",  # Pallas kernels cannot shard; the XLA twin can
+    )
+    scene = w.device()
+    cam = vt.Camera(
+        position=[0.0, 2.0, 2.0], yaw=0.0, pitch=-10.0, aspect=WIDTH / HEIGHT
+    ).uniform()
+    globals_ = Globals.make(WIDTH, HEIGHT, frame=0, time=0.0, dt=1 / 60)
+    state = FrameState.initial(WIDTH, HEIGHT)
+    moving_ids = np.asarray(moving, np.int32)
+    return cfg, (scene, cam, globals_, state, moving_ids)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must provision 8 virtual devices"
+
+
+def test_sharded_frame_matches_unsharded():
+    cfg, args = _scene()
+    base_fn = jax.jit(partial(render_frame, config=cfg, mesh=None))
+    img_base, _, _, _ = base_fn(*args)
+
+    mesh = make_mesh(8)
+    shard_fn = jax.jit(partial(render_frame, config=cfg, mesh=mesh))
+    img_shard, _, _, aux = shard_fn(*args)
+
+    a = np.asarray(img_base)
+    b = np.asarray(img_shard)
+    assert a.shape == b.shape == (HEIGHT, WIDTH, 3)
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(
+        a, b, err_msg="sharded frame must be bit-identical to unsharded"
+    )
+
+
+def test_sharded_output_is_actually_sharded():
+    """The with_sharding_constraint calls must survive into the executable:
+    the G-buffer depth returned in aux should come back row-sharded."""
+    cfg, args = _scene()
+    mesh = make_mesh(8)
+    shard_fn = jax.jit(partial(render_frame, config=cfg, mesh=mesh))
+    _, _, _, aux = shard_fn(*args)
+    depth = aux["depth"]
+    sharding = depth.sharding
+    # Eight distinct device shards, split over rows.
+    assert len(sharding.device_set) == 8, sharding
+    shard_shape = sharding.shard_shape(depth.shape)
+    assert shard_shape[0] == HEIGHT // 8, shard_shape
+
+
+def test_shard_rows_helper_roundtrip():
+    mesh = make_mesh(8)
+
+    @jax.jit
+    def f(x):
+        return shard_rows(mesh, x) * 2.0
+
+    x = jnp.arange(8 * 16 * 4, dtype=jnp.float32).reshape(8 * 16, 4)
+    y = f(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x) * 2.0)
+    assert ROW_AXIS in mesh.axis_names
