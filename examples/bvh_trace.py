@@ -50,9 +50,12 @@ def main():
     dirs = (world - np.asarray(u.position)[:3]).reshape(-1, 3).astype(np.float32)
 
     f = jax.jit(lambda o, d: traverse.closest_hit(tlas, blas, inst, tri_pos, o, d, t_max=1e6))
-    t, visits = f(jnp.asarray(origins, jnp.float32), jnp.asarray(dirs))
-    t = np.asarray(t).reshape(H, W)
-    visits = np.asarray(visits).reshape(H, W)
+    res = f(jnp.asarray(origins, jnp.float32), jnp.asarray(dirs))
+    t = np.asarray(res.t).reshape(H, W)
+    visits = np.asarray(res.visits).reshape(H, W)
+    assert int(res.overflow) == 0 and int(res.exhausted) == 0, (
+        f"traversal overflow={int(res.overflow)} exhausted={int(res.exhausted)}"
+    )
 
     hit = t < 1e6
     shade = np.where(hit, 1.0 / (1.0 + 0.05 * t), 0.05)

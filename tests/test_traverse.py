@@ -66,13 +66,67 @@ def test_occlusion_matches_bruteforce():
     targets = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
     dirs = (targets - origins).astype(np.float32)
 
-    got = np.asarray(
-        traverse.occluded(
-            tlas, blas, inst, tri_pos, jnp.asarray(origins), jnp.asarray(dirs),
-            t_max=1.0,
-        )
+    res = traverse.occluded(
+        tlas, blas, inst, tri_pos, jnp.asarray(origins), jnp.asarray(dirs),
+        t_max=1.0,
     )
+    got = np.asarray(res.hit)
+    assert int(res.overflow) == 0 and int(res.exhausted) == 0
     want = _occlusion_oracle(w, origins, dirs, t_max=1.0)
     agree = (got == want).mean()
     assert agree == 1.0, f"occlusion mismatch: {agree}, {np.flatnonzero(got != want)[:10]}"
     assert want.any() and not want.all()  # non-trivial test
+
+
+def _deep_tlas_chain(n):
+    """Synthetic worst case: a TLAS left-spine where every internal node's
+    children are BOTH the next node — each pop pushes two, so the stack
+    grows by one per step and must overflow STACK=48."""
+    rows = np.zeros((n, 8), np.float32)
+    rows[:, 0:3] = -100.0  # min
+    rows[:, 4:7] = 100.0  # max — every node hit by any ray
+    for i in range(n - 1):
+        rows[i, 3] = i + 1  # a = left child
+        rows[i, 7] = i + 1  # b = right child
+    rows[n - 1, 3] = -1.0  # leaf
+    rows[n - 1, 7] = 0.0  # instance 0
+    blas = np.zeros((1, 8), np.float32)
+    blas[0, 7] = 1.0  # leaf, 1 tri
+    inst = np.zeros((1, 24), np.float32)
+    inst[0, :16] = np.eye(4, dtype=np.float32).reshape(16)
+    tri = np.zeros((1, 9), np.float32)  # degenerate tri: never hit
+    o = np.zeros((1, 3), np.float32)
+    d = np.array([[0, 0, -1]], np.float32)
+    return (jnp.asarray(rows), jnp.asarray(blas), jnp.asarray(inst),
+            jnp.asarray(tri), jnp.asarray(o), jnp.asarray(d))
+
+
+def test_occluded_reports_stack_overflow():
+    args = _deep_tlas_chain(80)
+    res = traverse.occluded(*args, t_max=1e6, max_steps=4096)
+    assert int(res.overflow) > 0, "deep spine must overflow STACK and say so"
+
+
+def test_occluded_reports_steps_exhausted():
+    args = _deep_tlas_chain(80)
+    res = traverse.occluded(*args, t_max=1e6, max_steps=3)
+    assert int(res.exhausted) == 1
+
+
+def test_closest_hit_reports_counters():
+    args = _deep_tlas_chain(80)
+    res = traverse.closest_hit(*args, t_max=1e6, max_steps=3)
+    assert int(res.exhausted) == 1
+    res2 = traverse.closest_hit(*args, t_max=1e6, max_steps=4096)
+    assert int(res2.overflow) > 0
+
+
+def test_pack_blas_rows_rejects_fat_leaves():
+    import pytest
+
+    bad_count = jnp.asarray(np.array([0, traverse.MAX_LEAF + 1], np.int32))
+    with pytest.raises(ValueError, match="MAX_LEAF"):
+        traverse.pack_blas_rows(
+            jnp.zeros((2, 3)), jnp.zeros((2, 3)),
+            jnp.zeros(2, jnp.int32), bad_count,
+        )

@@ -47,6 +47,9 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        # The .so is never shipped (gitignored): a fresh checkout always
+        # compiles from source on first use; the mtime check only skips
+        # recompiles of a local build.
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
             _SRC
         ):

@@ -85,6 +85,22 @@ class RasterConfig:
         return self.tiles_y * self.tile_h
 
 
+_SAT = jnp.int32(1 << 29)  # saturation bound: 2*_SAT still fits in int32
+
+
+def saturating_cumsum(counts: jnp.ndarray) -> jnp.ndarray:
+    """int32 cumsum that saturates at 2^29 instead of wrapping negative.
+
+    A huge scene (~2^31 (tri,tile) pairs) would wrap a plain int32 cumsum,
+    silently zeroing pair_valid and corrupting the overflow counter — the
+    guard meant to catch exactly that. int64 is unavailable (x64 disabled),
+    so clamp: saturating add of non-negative ints is associative, and any
+    prefix that saturates is far beyond every capacity anyway.
+    """
+    c = jnp.minimum(counts, _SAT)
+    return jax.lax.associative_scan(lambda a, b: jnp.minimum(a + b, _SAT), c)
+
+
 def segment_ids_from_counts(counts: jnp.ndarray, cap: int):
     """Variable-rate expansion without searchsorted.
 
@@ -92,7 +108,7 @@ def segment_ids_from_counts(counts: jnp.ndarray, cap: int):
     e in [0, cap): (segment id, position-within-segment, valid).
     Cost: one |counts|-sized scatter + two cap-sized cumulative ops.
     """
-    cum = jnp.cumsum(counts)
+    cum = saturating_cumsum(counts)
     total = jnp.minimum(cum[-1], cap)
     starts = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
     seg_of_start = jnp.arange(counts.shape[0], dtype=jnp.int32)
@@ -228,7 +244,7 @@ def triangle_setup(
     needs2 = valid & (n_in == 2)
     alive2 = needs2 & _front_face(sx2, sy2)
 
-    cum = jnp.cumsum(n_tris)
+    cum = saturating_cumsum(n_tris)
     tri_total = jnp.minimum(cum[-1], cap)
 
     # Clipped second-triangles go to a SMALL separate region selected by
@@ -328,7 +344,7 @@ def bin_triangles(setup: dict, config: RasterConfig):
     bbox_rec = jnp.stack([tx0, ty0, bw], axis=-1)  # (cap, 3) i32
 
     tri, local, pair_valid = segment_ids_from_counts(n_pairs, E)
-    cum = jnp.cumsum(n_pairs)
+    cum = saturating_cumsum(n_pairs)
     overflow = jnp.maximum(cum[-1] - E, 0)
 
     br = bbox_rec[tri]  # (E, 3)
@@ -399,7 +415,7 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     bbox_rec = jnp.stack([tx0, ty0, bw], axis=-1)
 
     tri, local, pair_valid = segment_ids_from_counts(n_pairs, E)
-    cum = jnp.cumsum(n_pairs)
+    cum = saturating_cumsum(n_pairs)
     overflow = jnp.maximum(cum[-1] - E, 0)
 
     br = bbox_rec[tri]

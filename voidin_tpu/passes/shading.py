@@ -300,7 +300,7 @@ def shade_raytraced(
             t_max=1.0,
             max_steps=max_steps,
             active=shadable.reshape(-1),
-        ).reshape(H, W)
+        ).hit.reshape(H, W)
         occlusion = jnp.where(occ_hit, 0.5, 1.0)
 
         atten = attenuation(1.0, 1.0, dist, lrad)
@@ -327,7 +327,10 @@ def ltc_evaluate_polygon(scene: SceneData, nor, view, pos, mminv, points,
     """N-vertex generalization of ltc_evaluate_rect (the reference's
     ring_light demo integrates rings with specialized clipped-disk math,
     src/bin/ring_light.wgsl; here a ring is outer polygon minus inner
-    polygon — exact by linearity of the edge integral).
+    polygon). Only the VECTOR form factor is linear in the edge integral;
+    the scalar result applies |vsum| and the nonlinear horizon-clip LUT per
+    polygon, so outer-minus-inner is an approximation that can go slightly
+    negative — shade_ring_light clamps it.
 
     points: (P, 3) static vertex count, counter-clockwise."""
     P = points.shape[-2]

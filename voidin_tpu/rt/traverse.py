@@ -25,6 +25,8 @@ intersection closer than t_max.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +37,33 @@ STACK = 48
 MAX_LEAF = 8  # builder leaves are <= 3 except degenerate fallbacks
 
 
+class OcclusionResult(NamedTuple):
+    """occluded() output with TPU-grade observability (the raster path's
+    `overflow` counter, passes/raster.py, applied to traversal)."""
+
+    hit: jnp.ndarray  # (R,) bool
+    overflow: jnp.ndarray  # () i32 — stack pushes dropped (stack full)
+    exhausted: jnp.ndarray  # () i32 — rays still active at max_steps
+
+
+class ClosestHitResult(NamedTuple):
+    t: jnp.ndarray  # (R,) f32 hit distance (t_max on miss)
+    visits: jnp.ndarray  # (R,) i32 node-visit count (heat overlay)
+    overflow: jnp.ndarray  # () i32
+    exhausted: jnp.ndarray  # () i32
+
+
 def pack_blas_rows(bvh_min, bvh_max, left_first, count):
+    if not isinstance(count, jax.core.Tracer):
+        import numpy as _np
+
+        n_leaf = _np.asarray(count)
+        if n_leaf.size and int(n_leaf.max()) > MAX_LEAF:
+            raise ValueError(
+                f"BLAS leaf with {int(n_leaf.max())} tris exceeds MAX_LEAF="
+                f"{MAX_LEAF}; traversal would silently miss intersections "
+                "(build with build_bvh=True or raise MAX_LEAF)"
+            )
     return jnp.concatenate(
         [
             bvh_min,
@@ -115,7 +143,7 @@ def occluded(
     max_steps=512,
     active=None,
 ):
-    """Any-hit occlusion for R rays. Returns (R,) bool.
+    """Any-hit occlusion for R rays. Returns OcclusionResult.
 
     `active`: optional (R,) mask — inactive rays are skipped entirely
     (their result is False)."""
@@ -140,6 +168,7 @@ def occluded(
         tri_base=jnp.zeros((R,), jnp.int32),
         bvh_base=jnp.zeros((R,), jnp.int32),
         steps=jnp.asarray(0, jnp.int32),
+        ovf=jnp.asarray(0, jnp.int32),
     )
 
     rr = jnp.arange(R)
@@ -207,26 +236,29 @@ def occluded(
             )
             hit = hit | (in_leaf & h)
 
-        # --- stack pushes (masked, bounded) --------------------------
+        # --- stack pushes (masked, bounded, overflow-counted) --------
         stack = s["stack"]
+        ovf = s["ovf"]
 
-        def push(stack, sp, mask, value):
+        def push(stack, sp, ovf, mask, value):
+            full = mask & (sp >= STACK)
+            write = mask & ~full
             slot = jnp.minimum(sp, STACK - 1)
-            newcol = stack[rr, slot]
-            newcol = jnp.where(mask, value, newcol)
+            newcol = jnp.where(write, value, stack[rr, slot])
             stack = stack.at[rr, slot].set(newcol)
-            return stack, jnp.where(mask, jnp.minimum(sp + 1, STACK), sp)
+            sp = jnp.where(write, sp + 1, sp)
+            return stack, sp, ovf + jnp.sum(full.astype(jnp.int32))
 
         # TLAS internal children
-        stack, sp = push(stack, sp, push2, left)
-        stack, sp = push(stack, sp, push2, right)
+        stack, sp, ovf = push(stack, sp, ovf, push2, left)
+        stack, sp, ovf = push(stack, sp, ovf, push2, right)
         # instance leaf -> BLAS root (encoded negative)
-        stack, sp = push(stack, sp, enter, -(blas_root + 1))
+        stack, sp, ovf = push(stack, sp, ovf, enter, -(blas_root + 1))
         # BLAS internal children (adjacent pair, blas.rs:10-17; indices
         # are mesh-local -> add the pool base)
         push_b = b_act & ~b_leaf
-        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 1))
-        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 2))
+        stack, sp, ovf = push(stack, sp, ovf, push_b, -(bvh_base + b_left + 1))
+        stack, sp, ovf = push(stack, sp, ovf, push_b, -(bvh_base + b_left + 2))
 
         return dict(
             stack=stack,
@@ -238,10 +270,12 @@ def occluded(
             tri_base=tri_base,
             bvh_base=bvh_base,
             steps=s["steps"] + 1,
+            ovf=ovf,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["hit"]
+    exhausted = jnp.sum(((out["sp"] > 0) & ~out["hit"]).astype(jnp.int32))
+    return OcclusionResult(hit=out["hit"], overflow=out["ovf"], exhausted=exhausted)
 
 
 def scene_rays(scene):
@@ -270,9 +304,10 @@ def closest_hit(
 ):
     """Closest-hit traversal (bvh_trace.wgsl equivalent).
 
-    Returns (t, steps): hit distance in |direction| units (t_max on miss)
-    and the per-ray node-visit count (the reference demo's traversal-depth
-    heat overlay, src/bin/bvh_trace.wgsl:243-244).
+    Returns ClosestHitResult: hit distance in |direction| units (t_max on
+    miss), the per-ray node-visit count (the reference demo's
+    traversal-depth heat overlay, src/bin/bvh_trace.wgsl:243-244), plus
+    overflow / steps-exhausted counters.
     """
     R = origins.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
@@ -295,6 +330,7 @@ def closest_hit(
         bvh_base=jnp.zeros((R,), jnp.int32),
         visits=jnp.zeros((R,), jnp.int32),
         steps=jnp.asarray(0, jnp.int32),
+        ovf=jnp.asarray(0, jnp.int32),
     )
     rr = jnp.arange(R)
 
@@ -351,19 +387,23 @@ def closest_hit(
             t_best = jnp.where(in_leaf & (th > 0) & (th < t_best), th, t_best)
 
         stack = s["stack"]
+        ovf = s["ovf"]
 
-        def push(stack, sp, mask, value):
+        def push(stack, sp, ovf, mask, value):
+            full = mask & (sp >= STACK)
+            write = mask & ~full
             slot = jnp.minimum(sp, STACK - 1)
-            newcol = jnp.where(mask, value, stack[rr, slot])
+            newcol = jnp.where(write, value, stack[rr, slot])
             stack = stack.at[rr, slot].set(newcol)
-            return stack, jnp.where(mask, jnp.minimum(sp + 1, STACK), sp)
+            sp = jnp.where(write, sp + 1, sp)
+            return stack, sp, ovf + jnp.sum(full.astype(jnp.int32))
 
-        stack, sp = push(stack, sp, push2, left)
-        stack, sp = push(stack, sp, push2, right)
-        stack, sp = push(stack, sp, enter, -(blas_root + 1))
+        stack, sp, ovf = push(stack, sp, ovf, push2, left)
+        stack, sp, ovf = push(stack, sp, ovf, push2, right)
+        stack, sp, ovf = push(stack, sp, ovf, enter, -(blas_root + 1))
         push_b = b_act & ~b_leaf
-        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 1))
-        stack, sp = push(stack, sp, push_b, -(bvh_base + b_left + 2))
+        stack, sp, ovf = push(stack, sp, ovf, push_b, -(bvh_base + b_left + 1))
+        stack, sp, ovf = push(stack, sp, ovf, push_b, -(bvh_base + b_left + 2))
 
         return dict(
             stack=stack,
@@ -376,10 +416,14 @@ def closest_hit(
             bvh_base=bvh_base,
             visits=s["visits"] + act.astype(jnp.int32),
             steps=s["steps"] + 1,
+            ovf=ovf,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["t"], out["visits"]
+    exhausted = jnp.sum((out["sp"] > 0).astype(jnp.int32))
+    return ClosestHitResult(
+        t=out["t"], visits=out["visits"], overflow=out["ovf"], exhausted=exhausted
+    )
 
 
 def _tri_t(o, d, v0, v1, v2):
