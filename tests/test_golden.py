@@ -81,10 +81,53 @@ def _render_rt():
     return np.asarray(r.render(cam))
 
 
+def _load_model_example():
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "model.py"
+    )
+    spec = importlib.util.spec_from_file_location("example_model", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _model_assets_present():
+    mod = _load_model_example()
+    return os.path.exists(
+        os.path.join(mod.ASSETS, "DamagedHelmet/glTF-Binary/DamagedHelmet.glb")
+    )
+
+
+def _render_model_flagship():
+    """The examples/model.py scene (model.rs flagship) at golden scale."""
+    from voidin_tpu.framework.app import App
+
+    mod = _load_model_example()
+    cfg = RasterConfig(
+        width=320,
+        height=256,
+        tri_capacity=1 << 18,
+        pair_capacity=1 << 19,
+        tile_tri_capacity=128,
+        interpret=True,
+    )
+    cam = vt.Camera(position=[2.0, 5.0, 12.0], yaw=0.0, pitch=-20.0,
+                    aspect=320 / 256)
+    app = App(mod.Model(), camera=cam, config=cfg)
+    img = None
+    for _ in range(2):
+        img = app.step()
+    assert int(app.renderer.aux["overflow"]) == 0
+    return np.asarray(img)
+
+
 CASES = {
     "deferred": _render_deferred,
     "taa3": _render_taa,
     "rt_shadows": _render_rt,
+    "model_flagship": _render_model_flagship,
 }
 
 
@@ -113,6 +156,14 @@ def test_golden_taa():
 
 def test_golden_rt_shadows():
     _compare("rt_shadows", _render_rt())
+
+
+def test_golden_model_flagship():
+    import pytest
+
+    if not _model_assets_present():
+        pytest.skip("reference glTF assets not mounted")
+    _compare("model_flagship", _render_model_flagship())
 
 
 if __name__ == "__main__":
