@@ -17,9 +17,12 @@ from typing import Optional
 
 import numpy as np
 
+import dataclasses as _dc
+
 from ..core.camera import Camera
 from ..passes.raster import RasterConfig
 from ..scene.scene import World
+from .pipeline import PipelineCache
 from .recorder import Recorder
 from .renderer import Renderer
 
@@ -101,6 +104,11 @@ class App:
         self._rt = enable_rt_shadows
         self._taa = enable_taa
         self.renderer: Optional[Renderer] = None
+        # Live pipeline registry: the frame fn and any user post hooks route
+        # through it, so editing a pass module mid-run re-traces the live
+        # renderer (PipelineArena + Watcher, app/pipeline.rs:253-351).
+        self.pipelines = PipelineCache()
+        self.post_hooks: list = []  # host-side (H,W,3)->(H,W,3) callables
 
         example.init(self)
         example.setup_scene(self)
@@ -114,16 +122,31 @@ class App:
             enable_taa=self._taa,
             enable_rt_shadows=self._rt,
             moving_ids=np.asarray(self.moving_ids, np.int32),
+            pipeline_cache=self.pipelines,
         )
+
+    def resize(self, width: int, height: int):
+        """Recreate the frame pipeline at a new resolution (App::resize,
+        app.rs:360-377: GBuffer/ViewTarget recreate + camera aspect)."""
+        if (width, height) == (self.config.width, self.config.height):
+            return
+        self.config = _dc.replace(self.config, width=width, height=height)
+        self.state.camera.aspect = width / height
+        self.recorder = Recorder(width, height)
+        self._freeze()
+        self.example.resize(self, width, height)
 
     def add_area_light(self, color, intensity, wh, transform):
         self.world.add_area_light(color, intensity, wh, transform)
 
     def step(self):
         """One fixed-timestep update + render; returns the frame array."""
+        self.pipelines.poll()  # hot reload: file events, lib.rs:196-198
         self.state.camera.update(FIXED_TIME_STEP)
         self.example.update(self, self.state)
         img = self.renderer.render(self.state.camera, dt=FIXED_TIME_STEP)
+        for hook in self.post_hooks:
+            img = hook(img)
         self.state.frame_count += 1
         self.state.total_time += FIXED_TIME_STEP
         self.state.dt = FIXED_TIME_STEP

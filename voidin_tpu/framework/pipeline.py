@@ -27,8 +27,10 @@ log = logging.getLogger("voidin.pipeline")
 class _Entry:
     build: Callable[[], Callable]  # returns a fresh (un-jitted) fn
     fn: Callable  # current jitted fn
-    source: Optional[str] = None  # file watched for changes
-    mtime: float = 0.0
+    sources: list = field(default_factory=list)  # files watched for changes
+    mtimes: Dict[str, float] = field(default_factory=dict)
+    jit_kwargs: dict = field(default_factory=dict)
+    reload_count: int = 0
 
 
 class PipelineCache:
@@ -37,32 +39,43 @@ class PipelineCache:
         self._lock = threading.Lock()
 
     def register(self, name: str, build: Callable[[], Callable],
-                 source: Optional[str] = None) -> Callable:
+                 source: Optional[str] = None, sources=None,
+                 jit_kwargs: Optional[dict] = None) -> Callable:
         """Register a pass; `build()` must return the pure function to jit.
 
+        `source`/`sources`: file(s) whose change triggers a reload — the
+        import_mapping analogue of the reference arena (pipeline.rs:35-36,
+        one pipeline may depend on several shader files).
         Returns a stable dispatcher that always calls the current version.
         """
-        fn = jax.jit(build())
-        mtime = os.path.getmtime(source) if source else 0.0
+        srcs = list(sources) if sources else ([source] if source else [])
+        jk = jit_kwargs or {}
+        fn = jax.jit(build(), **jk)
+        mtimes = {s: os.path.getmtime(s) for s in srcs if os.path.exists(s)}
         with self._lock:
-            self._entries[name] = _Entry(build, fn, source, mtime)
+            self._entries[name] = _Entry(build, fn, srcs, mtimes, jk)
 
         def dispatch(*args, **kwargs):
             return self._entries[name].fn(*args, **kwargs)
 
         return dispatch
 
-    def reload(self, name: str) -> bool:
-        """Re-trace one pipeline; keep the old one on failure."""
+    def reload(self, name: str, changed: Optional[str] = None) -> bool:
+        """Re-trace one pipeline; keep the old one on failure.
+
+        `changed`: reimport only that source module (None = all sources)."""
         e = self._entries[name]
         try:
-            if e.source:
-                mod_name = _module_for(e.source)
+            for src in [changed] if changed else e.sources:
+                if not src:
+                    continue
+                mod_name = _module_for(src)
                 if mod_name:
                     importlib.reload(importlib.import_module(mod_name))
-            new_fn = jax.jit(e.build())
+            new_fn = jax.jit(e.build(), **e.jit_kwargs)
             with self._lock:
                 e.fn = new_fn
+                e.reload_count += 1
             log.info("reloaded pipeline %s", name)
             return True
         except Exception as exc:  # keep last good pipeline
@@ -72,12 +85,13 @@ class PipelineCache:
     def poll(self):
         """Reload any pipeline whose source file changed."""
         for name, e in list(self._entries.items()):
-            if not e.source or not os.path.exists(e.source):
-                continue
-            m = os.path.getmtime(e.source)
-            if m > e.mtime:
-                e.mtime = m
-                self.reload(name)
+            for src in e.sources:
+                if not os.path.exists(src):
+                    continue
+                m = os.path.getmtime(src)
+                if m > e.mtimes.get(src, 0.0):
+                    e.mtimes[src] = m
+                    self.reload(name, changed=src)
 
     def names(self):
         return list(self._entries)

@@ -146,6 +146,18 @@ def render_frame(
     return srgb, state, scene, aux
 
 
+def frame_sources():
+    """Source files whose edits must re-trace the frame pipeline — the
+    import_mapping of the frame 'shader' (pipeline.rs:35-36)."""
+    mods = [
+        cull_pass, post_pass, raster_pass, resolve_pass, shading_pass,
+        taa_pass, update_pass,
+    ]
+    files = [m.__file__ for m in mods if getattr(m, "__file__", None)]
+    files.append(__file__)
+    return files
+
+
 class Renderer:
     """Host-side driver: owns the jitted frame fn and functional state."""
 
@@ -159,6 +171,7 @@ class Renderer:
         enable_rt_shadows: bool = False,
         moving_ids: Optional[np.ndarray] = None,
         mesh=None,
+        pipeline_cache=None,
     ):
         self.scene = scene
         self.config = config or RasterConfig()
@@ -170,19 +183,35 @@ class Renderer:
         self.jitter = JitterSequence()
         self.frame_count = 0
         self.time = 0.0
-        self._fn = jax.jit(
-            partial(
-                render_frame,
+
+        def build():
+            # Re-resolve render_frame from the live module so a reload of
+            # any pass module (or this one) is picked up at re-trace time —
+            # the PipelineArena hot-swap semantics (app/pipeline.rs:253-351).
+            import importlib
+
+            rf = importlib.import_module(__name__).render_frame
+            return partial(
+                rf,
                 config=self.config,
                 enable_cull=enable_cull,
                 enable_taa=enable_taa,
                 enable_post=enable_post,
                 enable_rt_shadows=enable_rt_shadows,
                 mesh=mesh,
-            ),
-            # scene and frame state are consumed and re-emitted every frame
-            donate_argnums=(0, 3),
-        )
+            )
+
+        # scene and frame state are consumed and re-emitted every frame
+        jit_kwargs = dict(donate_argnums=(0, 3))
+        if pipeline_cache is not None:
+            self._fn = pipeline_cache.register(
+                "frame",
+                build,
+                sources=frame_sources(),
+                jit_kwargs=jit_kwargs,
+            )
+        else:
+            self._fn = jax.jit(build(), **jit_kwargs)
 
     def render(self, camera: Camera, dt: float = 1.0 / 60.0) -> jnp.ndarray:
         if self.enable_taa:

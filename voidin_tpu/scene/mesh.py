@@ -102,6 +102,21 @@ def make_uv_sphere(radius: float = 1.0, resolution: int = 10) -> Mesh:
     return Mesh(vertices, normals, tangents, uvs, indices)
 
 
+def make_box_mesh(width: float, height: float, length: float) -> Mesh:
+    """Per-axis box: 24 verts, 6 faces, half-extent per dimension
+    (crates/pools/src/mesh/boxx.rs:5-117 — vertices are dims/2, per-face
+    normals/uv quads, tangent (1,0,0,-1))."""
+    m = make_cube_mesh(1.0)
+    scale = np.array([width, height, length], np.float32)
+    return Mesh(
+        (m.vertices * scale).astype(np.float32),
+        m.normals,
+        m.tangents,
+        m.uvs,
+        m.indices,
+    )
+
+
 def make_cube_mesh(size: float = 1.0) -> Mesh:
     """24-vertex, 6-face cube (cube.rs / boxx.rs equivalent)."""
     s = size / 2.0
