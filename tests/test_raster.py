@@ -152,3 +152,104 @@ def test_fine_raster_pallas_matches_xla():
     # fine_raster returns untiled images
     np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+
+
+def _alpha_scene():
+    """Masked cutout quad in front of a solid backdrop, plus a
+    base_color.w=0.2 'ghost' quad in front of both that must vanish.
+    The vertical plane faces -Z, so the camera (see _alpha_camera) sits at
+    z=-12 looking +Z: the masked quad at z=-8 is nearest, the backdrop at
+    z=-4 is behind it, the ghost at z=-9 is in front of everything."""
+    w = vt.World()
+    tex = np.full((8, 8, 4), 255, np.uint8)
+    tex[2:6, 2:6, 3] = 0  # hole: uv [0.25, 0.75)^2
+    mat_mask = w.materials.add(albedo=w.textures.add(tex))
+    mat_solid = w.materials.add(base_color=(1, 0, 0, 1))
+    mat_ghost = w.materials.add(base_color=(1, 1, 1, 0.2))
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, 0, -8]) @ mathx.from_scale(4.0)),
+        vt.mesh.VERTICAL_PLANE_MESH,
+        mat_mask,
+    )
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, 0, -4]) @ mathx.from_scale(14.0)),
+        vt.mesh.VERTICAL_PLANE_MESH,
+        mat_solid,
+    )
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, 0, -9]) @ mathx.from_scale(2.0)),
+        vt.mesh.VERTICAL_PLANE_MESH,
+        mat_ghost,
+    )
+    return w, mat_mask, mat_solid
+
+
+def _alpha_camera(aspect):
+    return vt.Camera(
+        position=[0.0, 0.0, -12.0], yaw=180.0, pitch=0.0, aspect=aspect
+    ).uniform()
+
+
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_alpha_cutout_reveals_occluded_geometry(backend):
+    """visibility.wgsl:79-81 discard semantics: a cut fragment must not win
+    the depth competition — the geometry BEHIND the cutout shows through,
+    and a base_color.w < 0.5 material never rasterizes at all."""
+    import dataclasses
+
+    from voidin_tpu.passes import resolve
+
+    w, mat_mask, mat_solid = _alpha_scene()
+    scene = w.device()
+    assert scene.alpha_masked  # host detection of masked content
+    cfg = dataclasses.replace(CFG, alpha_mask=True, backend=backend)
+    cam = _alpha_camera(cfg.width / cfg.height)
+    draws = cull.DrawList(
+        instance=jnp.arange(scene.instances.count, dtype=jnp.int32),
+        count=jnp.int32(scene.instances.count),
+    )
+    vis = raster.rasterize(
+        scene.meshes, scene.instances, draws, cam, cfg,
+        materials=scene.materials,
+    )
+    gb, _albedo = resolve.resolve_gbuffer(scene, vis, cam, cfg)
+    mat = np.asarray(gb.material)
+    depth = np.asarray(gb.depth)
+    cy, cx = cfg.height // 2, cfg.width // 2
+    # dead center: inside the hole -> the backdrop is visible through it
+    assert mat[cy, cx] == mat_solid, mat[cy, cx]
+    assert depth[cy, cx] > 0.0
+    # near the quad's edge (outside the hole, inside the quad): masked quad
+    # wins; its depth is NEARER (reverse-Z: larger) than the hole pixels'.
+    probe = None
+    for dx in range(cfg.width // 2):
+        if mat[cy, cx + dx] == mat_mask:
+            probe = (cy, cx + dx)
+            break
+    assert probe is not None, "masked quad not visible anywhere on the row"
+    assert depth[probe] > depth[cy, cx]
+    # the ghost quad (base_color.w < 0.5) must appear nowhere
+    ghost_mat = mat_solid + 1
+    assert not (mat == ghost_mat).any()
+
+
+def test_alpha_mask_off_keeps_legacy_semantics():
+    """Without alpha_mask the cut pixel maps to background (the documented
+    round-1 deviation) — guards the default path's behavior."""
+    from voidin_tpu.passes import resolve
+
+    w, _mat_mask, _mat_solid = _alpha_scene()
+    scene = w.device()
+    cam = _alpha_camera(CFG.width / CFG.height)
+    draws = cull.DrawList(
+        instance=jnp.arange(scene.instances.count, dtype=jnp.int32),
+        count=jnp.int32(scene.instances.count),
+    )
+    vis = raster.rasterize(
+        scene.meshes, scene.instances, draws, cam, CFG,
+        materials=scene.materials,
+    )
+    assert vis.tri_id2 is None
+    gb, _ = resolve.resolve_gbuffer(scene, vis, cam, CFG)
+    cy, cx = CFG.height // 2, CFG.width // 2
+    assert np.asarray(gb.depth)[cy, cx] == 0.0  # hole -> background

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Bisect the north-star frame: slope-time cumulative stage prefixes of ONE
+jitted program to find where the whole-frame time lives (the per-pass table
+in tools/profile_northstar.py jits passes separately; in-context costs can
+differ once XLA schedules the full program).
+
+Usage: python -u tools/bisect_frame.py [--cpu]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+from tools.tpu_timeit import slope_time  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+    import jax.numpy as jnp
+
+    import voidin_tpu as vt
+    from bench import build_world
+    from voidin_tpu.passes import cull as cull_pass
+    from voidin_tpu.passes import postprocess as post_pass
+    from voidin_tpu.passes import raster as raster_pass
+    from voidin_tpu.passes import resolve as resolve_pass
+    from voidin_tpu.passes import shading as shading_pass
+    from voidin_tpu.passes import taa as taa_pass
+    from voidin_tpu.framework.renderer import FrameState
+    from voidin_tpu.passes.raster import RasterConfig
+    from voidin_tpu.scene.texture import linear_to_srgb
+
+    backend = jax.default_backend()
+    world, moving = build_world()
+    cfg = RasterConfig(
+        width=1920, height=1080, tri_capacity=1 << 20, pair_capacity=1 << 20,
+        tile_tri_capacity=128, interpret=backend == "cpu",
+    )
+    scene = world.device()
+    cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
+                    aspect=1920 / 1080)
+    uniform = cam.uniform()
+    state = FrameState.initial(cfg.width, cfg.height)
+
+    def upto(stage):
+        def f(eps):
+            camera = uniform.replace(znear=uniform.znear + eps)
+            draws = cull_pass.emit_draws(scene.meshes, scene.instances, camera)
+            if stage == "cull":
+                return draws.count.astype(jnp.float32)
+            setup = raster_pass.triangle_setup(
+                scene.meshes, scene.instances, draws, camera, cfg,
+                materials=scene.materials,
+            )
+            if stage == "setup":
+                return setup["raster_rec"].sum()
+            rec_sorted, starts, counts, overflow = (
+                raster_pass.bin_triangles_pairs(setup, cfg)
+            )
+            if stage == "bin":
+                return rec_sorted.sum() + starts.sum() + counts.sum()
+            from voidin_tpu.ops import fine_raster as fr
+
+            outs = fr.fine_raster_pairs(
+                rec_sorted, starts, counts, tiles_x=cfg.tiles_x,
+                tiles_per_step=cfg.tiles_per_step, interpret=cfg.interpret,
+            )
+            depth, trif = outs[0], outs[1]
+            depth, tri_id = raster_pass._untile(
+                depth.reshape(depth.shape[0], -1),
+                trif.reshape(trif.shape[0], -1), cfg,
+            )
+            vis = raster_pass.VisBuffer(
+                tri_id=tri_id[: cfg.height, : cfg.width],
+                depth=depth[: cfg.height, : cfg.width],
+                resolve_rec=setup["resolve_rec"],
+                overflow=overflow,
+            )
+            if stage == "raster":
+                return vis.depth.sum() + vis.tri_id.sum()
+            gb, albedo = resolve_pass.resolve_gbuffer(scene, vis, camera, cfg)
+            if stage == "resolve":
+                return (gb.depth.sum() + gb.material.sum()
+                        + gb.normal_uv.sum() + albedo.sum())
+            hdr = shading_pass.shade(scene, gb, camera, albedo=albedo)
+            if stage == "shade":
+                return hdr.sum()
+            hdr2, _st = taa_pass.taa(hdr, gb, camera, state)
+            if stage == "taa":
+                return hdr2.sum()
+            out = linear_to_srgb(post_pass.postprocess(hdr2))
+            return out.sum()
+
+        return jax.jit(f)
+
+    stages = ["cull", "setup", "bin", "raster", "resolve", "shade", "taa", "full"]
+    prev = 0.0
+    print(f"backend={backend}")
+    for s in stages:
+        ms = slope_time(upto(s))
+        print(f"{s:10s} cum {ms:8.2f} ms   marginal {ms - prev:8.2f} ms")
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()

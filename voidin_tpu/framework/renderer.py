@@ -105,11 +105,18 @@ def render_frame(
         )
 
     # 3. visibility raster + G-buffer resolve.
-    vis = raster_pass.rasterize(scene.meshes, scene.instances, draws, camera, config)
+    vis = raster_pass.rasterize(
+        scene.meshes, scene.instances, draws, camera, config,
+        materials=scene.materials,
+    )
     if mesh is not None:
         vis = vis.replace(
             tri_id=shard_mod.shard_rows(mesh, vis.tri_id),
             depth=shard_mod.shard_rows(mesh, vis.depth),
+            tri_id2=None if vis.tri_id2 is None
+            else shard_mod.shard_rows(mesh, vis.tri_id2),
+            depth2=None if vis.depth2 is None
+            else shard_mod.shard_rows(mesh, vis.depth2),
         )
     gbuffer, albedo = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
     if mesh is not None:
@@ -174,7 +181,12 @@ class Renderer:
         pipeline_cache=None,
     ):
         self.scene = scene
-        self.config = config or RasterConfig()
+        self.config = dataclasses.replace(
+            config or RasterConfig(),
+            # second-candidate tracking only when the scene has per-texel
+            # alpha-masked materials (visibility.wgsl:79-81 semantics)
+            alpha_mask=getattr(scene, "alpha_masked", False),
+        )
         self.enable_taa = enable_taa
         self.state = FrameState.initial(self.config.width, self.config.height)
         self.moving_ids = jnp.asarray(

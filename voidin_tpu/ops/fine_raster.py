@@ -166,14 +166,15 @@ def _kernel_pairs(
     starts_ref,
     counts_ref,
     rec_hbm,  # (n_chunks, RECORD_F, CHUNK) f32, field-major per chunk
-    depth_ref,
-    id_ref,
-    scratch,  # (tps, 2, RECORD_F, CHUNK)
-    sems,
-    *,
+    *rest,  # out refs (2 or 4 with track2), then scratch, sems
     tiles_per_step,
     tiles_x,
+    track2=False,
 ):
+    if track2:
+        depth_ref, id_ref, depth2_ref, id2_ref, scratch, sems = rest
+    else:
+        depth_ref, id_ref, scratch, sems = rest
     step = pl.program_id(0)
     # pixels on sublanes: pixel (y, x) of the 8x16 tile; triangle fields on
     # lanes. Column group g handles pixels x == g, all 8 rows at once.
@@ -208,8 +209,6 @@ def _kernel_pairs(
         ty0 = ((tile // tiles_x) * TILE_H).astype(jnp.float32)
 
         def body(c, carry):
-            best_d, best_i = carry  # (TILE_H, TILE_W) each
-
             @pl.when(c + 1 < n_chunks)
             def _():
                 dma(j, jax.lax.rem(c + 1, 2), chunk0, c + 1).start()
@@ -229,7 +228,10 @@ def _kernel_pairs(
                 )
                 ok = (idf >= 0.0) & in_range  # (1, CHUNK)
 
-                bd, bi = best_d, best_i
+                if track2:
+                    bd, bi, bd2, bi2 = carry
+                else:
+                    bd, bi = carry
                 for g in range(TILE_W):
                     px = tx0 + g + 0.5  # scalar
                     py = ty0 + ys + 0.5  # (8, 1)
@@ -253,6 +255,31 @@ def _kernel_pairs(
                     sel = col & take
                     bd = jnp.where(sel, gmax, bd)
                     bi = jnp.where(sel, gid, bi)
+                    if track2:
+                        # Runner-up among DISTINCT triangles: within-chunk
+                        # 2nd place (mask the argmax lane), then a 2-way
+                        # sorted-pair merge with the running (best, second).
+                        c2 = jnp.where(cand == gmax, -1.0, cand)
+                        g2 = jnp.max(c2, axis=1, keepdims=True)
+                        g2id = jnp.max(
+                            jnp.where(c2 == g2, idf, -1.0), axis=1, keepdims=True
+                        )
+                        g2id = jnp.where(g2 > 0.0, g2id, -1.0)
+                        prev_i = bi[:, g : g + 1]
+                        prev_d2 = bd2[:, g : g + 1]
+                        prev_i2 = bi2[:, g : g + 1]
+                        lv = jnp.where(take, prev_d, gmax)  # demoted best
+                        li = jnp.where(take, prev_i, gid)
+                        t2 = g2 > prev_d2
+                        m2v = jnp.where(t2, g2, prev_d2)
+                        m2i = jnp.where(t2, g2id, prev_i2)
+                        t3 = lv > m2v
+                        nd2 = jnp.where(t3, lv, m2v)
+                        ni2 = jnp.where(t3, li, m2i)
+                        bd2 = jnp.where(col, nd2, bd2)
+                        bi2 = jnp.where(col, ni2, bi2)
+                if track2:
+                    return bd, bi, bd2, bi2
                 return bd, bi
 
             return jax.lax.cond(
@@ -261,13 +288,15 @@ def _kernel_pairs(
                 lambda: one_slot(scratch[j, 1]),
             )
 
-        init = (
-            jnp.zeros((TILE_H, TILE_W), jnp.float32),
-            jnp.full((TILE_H, TILE_W), -1.0),
-        )
-        best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
-        depth_ref[j] = best_d
-        id_ref[j] = best_i
+        zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        negs = jnp.full((TILE_H, TILE_W), -1.0)
+        init = (zeros, negs, zeros, negs) if track2 else (zeros, negs)
+        out = jax.lax.fori_loop(0, n_chunks, body, init)
+        depth_ref[j] = out[0]
+        id_ref[j] = out[1]
+        if track2:
+            depth2_ref[j] = out[2]
+            id2_ref[j] = out[3]
 
 
 def fine_raster_pairs(
@@ -277,8 +306,10 @@ def fine_raster_pairs(
     tiles_x: int,
     tiles_per_step: int = 8,
     interpret: bool = False,
+    track2: bool = False,
 ):
-    """Returns (depth (NT, 8, 16) f32, id (NT, 8, 16) f32)."""
+    """Returns (depth, id) (NT, 8, 16) f32 each; with `track2` also the
+    per-pixel runner-up (depth2, id2) for alpha-cutoff fallback."""
     nt = starts.shape[0]
     e_pad, rf = records_sorted.shape
     assert rf == RECORD_F and nt % tiles_per_step == 0 and e_pad % CHUNK == 0
@@ -288,36 +319,31 @@ def fine_raster_pairs(
     )
     grid = (nt // tiles_per_step,)
     kernel = functools.partial(
-        _kernel_pairs, tiles_per_step=tiles_per_step, tiles_x=tiles_x
+        _kernel_pairs, tiles_per_step=tiles_per_step, tiles_x=tiles_x,
+        track2=track2,
+    )
+    n_out = 4 if track2 else 2
+    out_spec = pl.BlockSpec(
+        (tiles_per_step, TILE_H, TILE_W),
+        lambda s, a, b: (s, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[
-            pl.BlockSpec(
-                (tiles_per_step, TILE_H, TILE_W),
-                lambda s, a, b: (s, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tiles_per_step, TILE_H, TILE_W),
-                lambda s, a, b: (s, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=[out_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((tiles_per_step, 2, RECORD_F, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((tiles_per_step, 2)),
         ],
     )
-    depth, tri = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nt, TILE_H, TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((nt, TILE_H, TILE_W), jnp.float32),
-        ],
+            jax.ShapeDtypeStruct((nt, TILE_H, TILE_W), jnp.float32)
+        ] * n_out,
         interpret=interpret,
     )(starts, counts, rec_chunks)
-    return depth, tri
+    return tuple(outs)

@@ -39,3 +39,9 @@ class VisBuffer:
     # (clip z == znear for the infinite reverse-Z projection — never stored)
     resolve_rec: jnp.ndarray
     overflow: jnp.ndarray  # () i32 count of binning/setup overflows
+    # Second-place depth candidate per pixel, tracked only when the scene
+    # contains alpha-masked materials (RasterConfig.alpha_mask): the raster
+    # equivalent of visibility.wgsl:79-81 `discard`, where a cut fragment
+    # must NOT win the depth competition — resolve falls back to this.
+    tri_id2: jnp.ndarray = None  # (H, W) i32 or None
+    depth2: jnp.ndarray = None  # (H, W) f32 or None

@@ -54,6 +54,11 @@ class RasterConfig:
     tiles_per_step: int = 8  # Pallas grid batching
     interpret: bool = False  # Pallas interpret mode (CPU tests)
     backend: str = "pallas"  # "pallas" | "xla" (sharded dryruns)
+    # Track the second-place depth candidate per pixel so resolve can apply
+    # the per-texel alpha cutoff INSIDE the depth competition
+    # (visibility.wgsl:79-81 discard semantics). Costs ~15% fine-raster
+    # time; Renderer enables it only when SceneData.alpha_masked.
+    alpha_mask: bool = False
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W
@@ -159,8 +164,15 @@ def triangle_setup(
     draws: DrawList,
     camera,
     config: RasterConfig,
+    materials=None,
 ):
-    """Per-work-item triangle screen data, packed records, capacity padded."""
+    """Per-work-item triangle screen data, packed records, capacity padded.
+
+    `materials`: when given, triangles whose material base_color.w < 0.5 are
+    dropped here — every fragment of such a triangle discards
+    (visibility.wgsl:79), so the whole triangle can never write depth. The
+    per-TEXEL albedo cutoff is handled downstream via second-candidate
+    tracking (RasterConfig.alpha_mask) + resolve fallback."""
     cap = config.tri_capacity
     inst_ids = draws.instance  # (N,) -1 padded
     safe_inst = jnp.maximum(inst_ids, 0)
@@ -179,18 +191,24 @@ def triangle_setup(
     view_proj = jnp.asarray(camera.projection) @ jnp.asarray(camera.view)
     mvp = fastmath.compose_mat4(view_proj, instances.transform)  # (N_inst,4,4)
     n_draws = inst_ids.shape[0]
+    if materials is not None:
+        bc_w = materials.base_color[instances.material_id[safe_inst], 3]
+    else:
+        bc_w = jnp.ones((n_draws,), jnp.float32)
     draw_rec = jnp.concatenate(
         [
             mvp.reshape(-1, 16)[safe_inst],
             (meshes.base_index[mesh_ids] // 3).astype(jnp.float32)[:, None],
             meshes.base_index[mesh_ids].astype(jnp.float32)[:, None],
             safe_inst.astype(jnp.float32)[:, None],
-            jnp.zeros((n_draws, 5), jnp.float32),
+            bc_w[:, None],
+            jnp.zeros((n_draws, 4), jnp.float32),
         ],
         axis=-1,
     )  # (N, 24) f32
     rec = draw_rec[draw_slot]  # (cap, 24)
     inst = jnp.where(valid, rec[:, 18].astype(jnp.int32), 0)
+    bc_cut = rec[:, 19] < 0.5  # base_color.w cutoff: drop the triangle
     tri_pool = rec[:, 16].astype(jnp.int32) + local_tri
     idx_start = rec[:, 17].astype(jnp.int32) + 3 * local_tri
 
@@ -240,8 +258,8 @@ def triangle_setup(
 
     sx1, sy1, z1 = _project(tri1, config)
     sx2, sy2, z2 = _project(tri2, config)
-    alive1 = valid & (n_in >= 1) & _front_face(sx1, sy1)
-    needs2 = valid & (n_in == 2)
+    alive1 = valid & (n_in >= 1) & _front_face(sx1, sy1) & ~bc_cut
+    needs2 = valid & (n_in == 2) & ~bc_cut
     alive2 = needs2 & _front_face(sx2, sy2)
 
     cum = saturating_cumsum(n_tris)
@@ -440,7 +458,7 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     return rec_sorted, starts, counts, overflow
 
 
-def fine_raster_xla(records, counts, config: RasterConfig):
+def fine_raster_xla(records, counts, config: RasterConfig, track2: bool = False):
     """Pure-XLA reference fine raster over the same record blocks.
 
     Used where a Pallas kernel cannot run (SPMD-sharded dryruns) and as the
@@ -460,7 +478,7 @@ def fine_raster_xla(records, counts, config: RasterConfig):
     G = fr.TRI_GROUP
 
     def body(g, carry):
-        best_d, best_i = carry
+        best_d, best_i = carry[0], carry[1]
         blk = jax.lax.dynamic_slice(records, (0, g * G, 0), (NT, G, F))
 
         def fld(f):
@@ -483,9 +501,26 @@ def fine_raster_xla(records, counts, config: RasterConfig):
         gmax = jnp.max(cand, axis=1)  # (NT, PX)
         gid = jnp.max(jnp.where(cand == gmax[:, None, :], idf, -1.0), axis=1)
         take = gmax > best_d
-        return jnp.where(take, gmax, best_d), jnp.where(take, gid, best_i)
+        nd = jnp.where(take, gmax, best_d)
+        ni = jnp.where(take, gid, best_i)
+        if not track2:
+            return nd, ni
+        best_d2, best_i2 = carry[2], carry[3]
+        c2 = jnp.where(cand == gmax[:, None, :], -1.0, cand)
+        g2 = jnp.max(c2, axis=1)
+        g2id = jnp.max(jnp.where(c2 == g2[:, None, :], idf, -1.0), axis=1)
+        g2id = jnp.where(g2 > 0.0, g2id, -1.0)
+        lv = jnp.where(take, best_d, gmax)  # demoted best
+        li = jnp.where(take, best_i, gid)
+        t2 = g2 > best_d2
+        m2v = jnp.where(t2, g2, best_d2)
+        m2i = jnp.where(t2, g2id, best_i2)
+        t3 = lv > m2v
+        return nd, ni, jnp.where(t3, lv, m2v), jnp.where(t3, li, m2i)
 
-    init = (jnp.zeros((NT, PX), jnp.float32), jnp.full((NT, PX), -1.0))
+    zeros = jnp.zeros((NT, PX), jnp.float32)
+    negs = jnp.full((NT, PX), -1.0)
+    init = (zeros, negs, zeros, negs) if track2 else (zeros, negs)
     return jax.lax.fori_loop(0, K // G, body, init)
 
 
@@ -525,29 +560,50 @@ def rasterize(
     draws: DrawList,
     camera,
     config: RasterConfig,
+    materials=None,
 ) -> VisBuffer:
-    setup = triangle_setup(meshes, instances, draws, camera, config)
+    track2 = config.alpha_mask
+    setup = triangle_setup(meshes, instances, draws, camera, config,
+                           materials=materials)
+    tri_id2 = None
+    H, W = config.height, config.width
     if config.backend == "pallas":
         # pair-centric path: no per-tile capacity
         rec_sorted, starts, counts, overflow = bin_triangles_pairs(setup, config)
-        depth, trif = fr.fine_raster_pairs(
+        outs = fr.fine_raster_pairs(
             rec_sorted,
             starts,
             counts,
             tiles_x=config.tiles_x,
             tiles_per_step=config.tiles_per_step,
             interpret=config.interpret,
+            track2=track2,
         )
+        depth, trif = outs[0], outs[1]
         depth, tri_id = _untile(
             depth.reshape(depth.shape[0], -1), trif.reshape(trif.shape[0], -1), config
         )
+        if track2:
+            depth2, tri_id2 = _untile(
+                outs[2].reshape(outs[2].shape[0], -1),
+                outs[3].reshape(outs[3].shape[0], -1),
+                config,
+            )
     else:
         records, counts, overflow = bin_triangles(setup, config)
-        depth, tri_id = fine_raster(records, counts, config, backend=config.backend)
-    H, W = config.height, config.width
+        if track2:
+            outs = fine_raster_xla(records, counts, config, track2=True)
+            depth, tri_id = _untile(outs[0], outs[1], config)
+            depth2, tri_id2 = _untile(outs[2], outs[3], config)
+        else:
+            depth, tri_id = fine_raster(
+                records, counts, config, backend=config.backend
+            )
     return VisBuffer(
         tri_id=tri_id[:H, :W],
         depth=depth[:H, :W],
         resolve_rec=setup["resolve_rec"],
         overflow=overflow + setup["setup_overflow"],
+        tri_id2=None if tri_id2 is None else tri_id2[:H, :W],
+        depth2=None if tri_id2 is None else depth2[:H, :W],
     )

@@ -37,9 +37,30 @@ def _normalize(v, eps=1e-20):
 
 
 def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config) -> GBuffer:
-    H, W = vis.depth.shape
-    tid = jnp.maximum(vis.tri_id, 0)
-    hit = vis.tri_id >= 0
+    """Resolve the winning candidate; with second-candidate tracking
+    (RasterConfig.alpha_mask), pixels whose winner is alpha-cut fall back to
+    the runner-up — reproducing visibility.wgsl:79-81 `discard`, where a cut
+    fragment never writes depth and the triangle BEHIND it stays visible.
+    One level of fallback: a cutout behind a cutout (both cut at the same
+    pixel) resolves to background; deeper stacking would need k > 2
+    candidates."""
+    if vis.tri_id2 is not None:
+        _, _, cut1 = _resolve_once(scene, vis, vis.tri_id, vis.depth, camera)
+        fall = (vis.tri_id >= 0) & cut1
+        tid = jnp.where(fall, vis.tri_id2, vis.tri_id)
+        dep = jnp.where(fall, vis.depth2, vis.depth)
+        gbuffer, albedo, _ = _resolve_once(scene, vis, tid, dep, camera)
+        return gbuffer, albedo
+    gbuffer, albedo, _ = _resolve_once(
+        scene, vis, vis.tri_id, vis.depth, camera
+    )
+    return gbuffer, albedo
+
+
+def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera):
+    H, W = depth.shape
+    tid = jnp.maximum(tri_id, 0)
+    hit = tri_id >= 0
 
     # Gather 1: packed resolve record [x,y,w per vertex | inst | idx_start].
     rec = vis.resolve_rec[tid]  # (H, W, 12)
@@ -113,18 +134,23 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config) -> GBuffer
     lod = uv_lod(uv, tex_w, tex_h)
 
     albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
-    normal_tex = sample_trilinear(scene.textures, mat_normal, uv, lod)
 
     n_geo = _normalize(n_ws)
-    tbn_t = _normalize(t_ws)
-    tbn_b = _normalize(b_ws)
-    mapped = (
-        tbn_t * (normal_tex[..., 0:1] * 2.0 - 1.0)
-        + tbn_b * (normal_tex[..., 1:2] * 2.0 - 1.0)
-        + n_geo * (normal_tex[..., 2:3] * 2.0 - 1.0)
-    )
-    use_map = (mat_normal != 0)[..., None]
-    normal = _normalize(jnp.where(use_map, mapped, n_geo))
+    if getattr(scene, "no_normal_maps", False):
+        # Static: no material has a normal map (normal == WHITE default,
+        # visibility.wgsl:83) — skip the per-pixel fetch + TBN transform.
+        normal = n_geo
+    else:
+        normal_tex = sample_trilinear(scene.textures, mat_normal, uv, lod)
+        tbn_t = _normalize(t_ws)
+        tbn_b = _normalize(b_ws)
+        mapped = (
+            tbn_t * (normal_tex[..., 0:1] * 2.0 - 1.0)
+            + tbn_b * (normal_tex[..., 1:2] * 2.0 - 1.0)
+            + n_geo * (normal_tex[..., 2:3] * 2.0 - 1.0)
+        )
+        use_map = (mat_normal != 0)[..., None]
+        normal = _normalize(jnp.where(use_map, mapped, n_geo))
 
     cut = (base_color_a < 0.5) | (albedo[..., 3] < 0.5)
     keep = hit & ~cut
@@ -141,11 +167,11 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config) -> GBuffer
     gbuffer = GBuffer(
         normal_uv=normal_uv,
         material=jnp.where(keep, material_id, 0).astype(jnp.int32),
-        depth=jnp.where(keep, vis.depth, 0.0),
+        depth=jnp.where(keep, depth, 0.0),
     )
     # The shading pass samples the albedo at the same uv/lod
     # (shading.wgsl:58); hand it over instead of re-gathering. Background /
     # cut pixels revert to the material-0 WHITE lookup the reference would
     # produce from its cleared G-buffer.
     aux_albedo = jnp.where(keep[..., None], albedo, jnp.ones_like(albedo))
-    return gbuffer, aux_albedo
+    return gbuffer, aux_albedo, cut

@@ -161,8 +161,9 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
     uv = encoding.unpack2x16float(gbuffer.normal_uv[..., 1])
     nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
 
-    # One packed material-row gather for ids + albedo texture extent
-    # (the K-sized record build is dense and cheap).
+    # One packed material-row gather for ids + albedo texture extent + the
+    # constant-folded 1x1 texture values (the K-sized record build is dense
+    # and cheap; gathers cost by ROW, width is nearly free).
     mats = scene.materials
     sizes = scene.textures.size[mats.albedo].astype(jnp.float32)  # (K, 2)
     shade_rec = jnp.concatenate(
@@ -171,10 +172,12 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
             mats.emissive.astype(jnp.float32)[:, None],
             mats.metallic_roughness.astype(jnp.float32)[:, None],
             sizes,
-            jnp.zeros((mats.albedo.shape[0], 3), jnp.float32),
+            mats.emissive_rgba[:, :3],
+            mats.mr_rgba,
+            jnp.zeros((mats.albedo.shape[0], 4), jnp.float32),
         ],
         axis=-1,
-    )  # (K, 8)
+    )  # (K, 16)
     srec = shade_rec[material_id]
     mat_albedo = srec[..., 0].astype(jnp.int32)
     mat_emissive = srec[..., 1].astype(jnp.int32)
@@ -187,8 +190,18 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
     # solely for the alpha cutoff in the raster pass). Parity kept.
     if albedo is None:
         albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
-    emissive = sample_trilinear(scene.textures, mat_emissive, uv, lod)[..., :3]
-    mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
+    # 1x1 textures fold into the record (exact: any sample of a 1x1
+    # texture is its texel) — skips a per-pixel gather each.
+    if scene.emissive_const:
+        emissive = srec[..., 5:8]
+    else:
+        emissive = sample_trilinear(
+            scene.textures, mat_emissive, uv, lod
+        )[..., :3]
+    if scene.mr_const:
+        mr = srec[..., 8:12]
+    else:
+        mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
 
     pos = world_position_from_depth(depth, camera.clip_to_world)
     cam_pos = jnp.asarray(camera.position)[:3]
@@ -267,8 +280,16 @@ def shade_raytraced(
     lod = uv_lod(uv, sizes[..., 0], sizes[..., 1])
     if albedo is None:
         albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
-    emissive = sample_trilinear(scene.textures, mat_emissive, uv, lod)[..., :3]
-    mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
+    if scene.emissive_const:
+        emissive = mats.emissive_rgba[material_id][..., :3]
+    else:
+        emissive = sample_trilinear(
+            scene.textures, mat_emissive, uv, lod
+        )[..., :3]
+    if scene.mr_const:
+        mr = mats.mr_rgba[material_id]
+    else:
+        mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
 
     pos = world_position_from_depth(depth, camera.clip_to_world)
     cam_pos = jnp.asarray(camera.position)[:3]

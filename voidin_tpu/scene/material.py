@@ -24,6 +24,14 @@ class MaterialData:
     normal: jnp.ndarray  # (K,) i32
     metallic_roughness: jnp.ndarray  # (K,) i32
     emissive: jnp.ndarray  # (K,) i32
+    # Constant-folded 1x1 texture values (linear space): sampling a 1x1
+    # texture at any uv/lod returns its single texel, so when EVERY material
+    # in a scene uses a 1x1 emissive / metallic-roughness map (the default
+    # BLACK), the per-pixel fetch collapses into the material record —
+    # SceneData.emissive_const / mr_const gate the fast path. Zeros when the
+    # scene has real textures for that slot.
+    emissive_rgba: jnp.ndarray = None  # (K, 4) f32
+    mr_rgba: jnp.ndarray = None  # (K, 4) f32
 
 
 class MaterialPool:
@@ -55,7 +63,14 @@ class MaterialPool:
         self.emissive.append(int(emissive))
         return len(self.albedo) - 1
 
-    def device(self) -> MaterialData:
+    def device(self, textures=None) -> MaterialData:
+        k = len(self.albedo)
+        em_const = np.zeros((k, 4), np.float32)
+        mr_const = np.zeros((k, 4), np.float32)
+        if textures is not None:
+            for i in range(k):
+                em_const[i] = textures.const_value(self.emissive[i])
+                mr_const[i] = textures.const_value(self.metallic_roughness[i])
         return MaterialData(
             base_color=jnp.asarray(
                 np.stack(self.base_color) if self.base_color else np.zeros((0, 4))
@@ -64,4 +79,6 @@ class MaterialPool:
             normal=jnp.asarray(self.normal, jnp.int32),
             metallic_roughness=jnp.asarray(self.metallic_roughness, jnp.int32),
             emissive=jnp.asarray(self.emissive, jnp.int32),
+            emissive_rgba=jnp.asarray(em_const),
+            mr_rgba=jnp.asarray(mr_const),
         )

@@ -63,7 +63,9 @@ def make_plane_mesh(width: float = 1.0, height: float = 1.0) -> Mesh:
 
 
 def make_vertical_plane_mesh(width: float = 1.0, height: float = 1.0) -> Mesh:
-    """The horizontal plane rotated by Rx(-pi/2): XZ -> XY, normal +Z."""
+    """The horizontal plane rotated by Rx(-pi/2): XZ -> XY, normal -Z
+    (the +Y normal maps to (0, 0, -1) under this rotation — the quad faces
+    a viewer on its -Z side)."""
     m = make_plane_mesh(width, height)
     rot = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], dtype=np.float32)
     m.vertices = m.vertices @ rot.T

@@ -47,6 +47,20 @@ class SceneData:
     # both tables' quads side by side: one 128B gather serves t1+t2
     ltc12_quads: jnp.ndarray  # (64*64, 32) f32
     tlas: Optional[TlasData] = None
+    # Static: any material needs per-texel alpha cutoff inside the depth
+    # competition (visibility.wgsl:79-81 discard). Enables the raster's
+    # second-candidate tracking; scenes without masked content pay nothing.
+    alpha_masked: bool = struct.field(pytree_node=False, default=False)
+    # Static constant-folding flags (gathers are the dominant per-pixel
+    # cost; a 1x1 texture's "fetch" is a per-material constant): every
+    # material's emissive / metallic-roughness texture is 1x1, so shading
+    # reads MaterialData.emissive_rgba / mr_rgba instead of sampling.
+    emissive_const: bool = struct.field(pytree_node=False, default=False)
+    mr_const: bool = struct.field(pytree_node=False, default=False)
+    # Static: no material has a normal map (normal == WHITE per
+    # material.rs:45 defaults / visibility.wgsl:83) — resolve skips the
+    # per-pixel normal-texture fetch entirely.
+    no_normal_maps: bool = struct.field(pytree_node=False, default=False)
 
 
 class World:
@@ -89,14 +103,24 @@ class World:
             ).astype(jnp.int32),
         )
 
+    def any_alpha_mask(self) -> bool:
+        """True if any material can cut fragments per texel: an opaque
+        base color (w >= 0.5 — otherwise the whole triangle is dropped at
+        setup) with an albedo texture containing texels of alpha < 0.5."""
+        for bc, albedo in zip(self.materials.base_color, self.materials.albedo):
+            if bc[3] >= 0.5 and self.textures.has_mask(albedo):
+                return True
+        return False
+
     def device(self, with_tlas: bool = False) -> SceneData:
         from .texture import pack_lut_quads
 
         ltc1, ltc2 = load_ltc_tables()
+        mats = self.materials
         return SceneData(
             meshes=self.meshes.device(),
             instances=self.instances.device(),
-            materials=self.materials.device(),
+            materials=self.materials.device(textures=self.textures),
             lights=self.lights.device(),
             textures=self.textures.device(),
             ltc1=jnp.asarray(ltc1),
@@ -107,4 +131,12 @@ class World:
                 np.concatenate([pack_lut_quads(ltc1), pack_lut_quads(ltc2)], -1)
             ),
             tlas=self.build_tlas() if with_tlas else None,
+            alpha_masked=self.any_alpha_mask(),
+            emissive_const=all(
+                self.textures.is_const(t) for t in mats.emissive
+            ),
+            mr_const=all(
+                self.textures.is_const(t) for t in mats.metallic_roughness
+            ),
+            no_normal_maps=all(t == 0 for t in mats.normal),
         )

@@ -155,6 +155,31 @@ class TexturePool:
     def __len__(self):
         return len(self.images)
 
+    def has_mask(self, tex_id: int) -> bool:
+        """Any texel with alpha below the 0.5 cutoff (visibility.wgsl:80)."""
+        return bool((self.images[tex_id][..., 3] < 128).any())
+
+    def is_const(self, tex_id: int) -> bool:
+        """1x1 texture: any sample returns its single texel."""
+        return self.images[tex_id].shape[:2] == (1, 1)
+
+    def const_value(self, tex_id: int) -> np.ndarray:
+        """(4,) linear-space value of a 1x1 texture (zeros if not 1x1) —
+        exactly what sample_trilinear returns for it at any uv/lod."""
+        if not self.is_const(tex_id):
+            return np.zeros(4, np.float32)
+        v = self.images[tex_id][0, 0].astype(np.float32) / 255.0
+        if self.srgb_flags[tex_id]:
+            c = v[:3]
+            v = np.concatenate(
+                [
+                    np.where(c <= _SRGB_BREAK, c / 12.92,
+                             ((c + 0.055) / 1.055) ** 2.4),
+                    v[3:4],
+                ]
+            )
+        return v.astype(np.float32)
+
     def add(self, image: np.ndarray, srgb: bool = False) -> int:
         """Add an (H, W, C) uint8/float image; returns its texture id."""
         img = np.asarray(image)
