@@ -112,6 +112,45 @@ def main():
         print(f"{s:10s} cum {ms:8.2f} ms   marginal {ms - prev:8.2f} ms")
         prev = ms
 
+    # The real frame program (render_frame), threading scene/state exactly
+    # like Renderer.render — isolates donation/aux overhead vs the
+    # stage-prefix program above.
+    import time as _time
+
+    from voidin_tpu.framework.renderer import Globals, render_frame
+
+    moving_j = jnp.asarray(moving)
+
+    def whole(sc, cam_u, g, st, mov):
+        return render_frame(sc, cam_u, g, st, mov, cfg)
+
+    for label, jit_kwargs in (
+        ("render_frame (donate)", dict(donate_argnums=(0, 3))),
+        ("render_frame (nodonate)", {}),
+    ):
+        f = jax.jit(whole, **jit_kwargs)
+
+        def run(n, sc, st):
+            eps = jnp.float32(0.0)
+            for i in range(n):
+                g = Globals.make(cfg.width, cfg.height, frame=i,
+                                 time=1.0, dt=eps)
+                img, st, sc, aux = f(sc, uniform, g, st, moving_j)
+                eps = img.ravel()[0] * 0
+            return float(eps), sc, st
+
+        # deep copies: the donate variant deletes its input buffers
+        sc = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), scene)
+        st = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+        _, sc, st = run(1, sc, st)  # compile
+        t0 = _time.perf_counter()
+        _, sc, st = run(1, sc, st)
+        ta = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        _, sc, st = run(5, sc, st)
+        tb = _time.perf_counter() - t0
+        print(f"{label:26s} {(tb - ta) / 4 * 1000.0:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()

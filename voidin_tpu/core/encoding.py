@@ -64,3 +64,17 @@ def unpack2x16float(p: jnp.ndarray) -> jnp.ndarray:
     hi = ((p >> 16) & 0xFFFF).astype(jnp.uint16)
     bits = jnp.stack([lo, hi], axis=-1)
     return bits.view(jnp.float16).astype(jnp.float32)
+
+
+def encode_octahedral_32_np(normal):
+    """Numpy twin of encode_octahedral_32 (host-side pool packing)."""
+    import numpy as np
+
+    n = np.asarray(normal, np.float32)
+    denom = np.abs(n[..., 0]) + np.abs(n[..., 1]) + np.abs(n[..., 2])
+    nor = n / np.maximum(denom[..., None], 1e-20)
+    folded_xy = (1.0 - np.abs(nor[..., [1, 0]])) * np.sign(nor[..., :2])
+    xy = np.where((nor[..., 2] < 0.0)[..., None], folded_xy, nor[..., :2])
+    v = xy * 0.5 + 0.5
+    d = np.floor(v * float(_MU) + 0.5).astype(np.uint32)
+    return (d[..., 1] << np.uint32(_PRES)) | d[..., 0]

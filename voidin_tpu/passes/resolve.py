@@ -7,9 +7,11 @@ the alpha cutoff, and writes the packed G-buffer. Our rasterizer emits only
 per winning pixel and evaluates the same attribute math densely.
 
 Gather budget (TPU gathers are ~4-6 ns/row): per pixel this pass issues
-exactly 6 row-gathers — the packed resolve record (clip + ids), 3
-de-indexed corner-attribute rows, one instance record (basis + material),
-one packed material record — plus the texture taps.
+exactly 3 row-gathers — the packed resolve record (clip + ids, 48 B), ONE
+packed corner-attribute row (uv f32 + octahedral normals/tangents, 48 B),
+one fused instance+material record (basis + material fields, 64 B) — plus
+the albedo texture tap (and the normal-map tap only when the scene has
+normal maps).
 
 Contract reproduced exactly:
 * normal matrix = upper-left 3x3 of the instance transform (not inverse
@@ -23,6 +25,7 @@ Contract reproduced exactly:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import encoding, fastmath
@@ -79,54 +82,49 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera):
     sign = jnp.where(bsum < 0, -1.0, 1.0)
     lam_p = b * sign / jnp.maximum(bsum * sign, 1e-20)  # (H, W, 3)
 
-    # Gathers 2-4: corner attributes [normal(3), tangent(4), uv(2)].
-    a0 = scene.meshes.tri_attr0[tri_pool]  # (H, W, 12)
-    a1 = scene.meshes.tri_attr1[tri_pool]
-    a2 = scene.meshes.tri_attr2[tri_pool]
-    attr = (
-        a0 * lam_p[..., 0:1] + a1 * lam_p[..., 1:2] + a2 * lam_p[..., 2:3]
-    )  # interpolated
-    normal_raw = attr[..., 0:3]
-    tangent_raw = attr[..., 3:6]
-    tangent_w = attr[..., 6]
-    uv = attr[..., 7:9]
+    # Gather 2: ONE packed corner-attribute row (48 B): exact f32 uv per
+    # corner + octahedral corner normals/tangents (see MeshPoolData).
+    pk = scene.meshes.tri_attr_packed[tri_pool]  # (H, W, 12) u32
+    uv_c = jax.lax.bitcast_convert_type(
+        pk[..., 0:6], jnp.float32
+    ).reshape(H, W, 3, 2)
+    n_c = encoding.decode_octahedral_32(pk[..., 6:9])  # (H, W, 3, 3)
+    t_enc = pk[..., 9:12]
+    t_sign = 1.0 - 2.0 * (t_enc & jnp.uint32(1)).astype(jnp.float32)
+    t_c = encoding.decode_octahedral_32(t_enc)  # (H, W, 3, 3)
+    normal_raw = jnp.sum(n_c * lam_p[..., None], axis=-2)
+    tangent_raw = jnp.sum(t_c * lam_p[..., None], axis=-2)
+    tangent_w = jnp.sum(t_sign * lam_p, axis=-1)
+    uv = jnp.sum(uv_c * lam_p[..., None], axis=-2)
 
-    # Gather 5: per-instance record (transform basis + ids), built densely
-    # from the live instance pool each frame.
+    # Gather 3: per-instance record (transform basis + material fields),
+    # built densely from the live pools each frame — folding the material
+    # row into the instance row saves a whole per-pixel gather.
     n_inst = scene.instances.count
+    mats = scene.materials
+    mid = scene.instances.material_id  # (N,)
     inst_rec = jnp.concatenate(
         [
             scene.instances.transform[:, :3, :3].reshape(n_inst, 9),
-            scene.instances.material_id.astype(jnp.float32)[:, None],
-            jnp.zeros((n_inst, 6), jnp.float32),
+            mid.astype(jnp.float32)[:, None],
+            mats.albedo[mid].astype(jnp.float32)[:, None],
+            mats.normal[mid].astype(jnp.float32)[:, None],
+            mats.base_color[mid, 3][:, None],
+            jnp.zeros((n_inst, 3), jnp.float32),
         ],
         axis=-1,
     )  # (N, 16)
     irec = inst_rec[inst]  # (H, W, 16)
     basis = irec[..., :9].reshape(H, W, 3, 3)
     material_id = irec[..., 9].astype(jnp.int32)
+    mat_albedo = irec[..., 10].astype(jnp.int32)
+    mat_normal = irec[..., 11].astype(jnp.int32)
+    base_color_a = irec[..., 12]
 
     # Object -> world with the plain upper 3x3 (reference parity).
     n_ws = fastmath.mat3_vec(basis, normal_raw)
     t_ws = fastmath.mat3_vec(basis, tangent_raw)
     b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
-
-    # Gather 6: packed material record [albedo, normal, mr, emissive, bc4].
-    mats = scene.materials
-    mat_rec = jnp.concatenate(
-        [
-            mats.albedo.astype(jnp.float32)[:, None],
-            mats.normal.astype(jnp.float32)[:, None],
-            mats.metallic_roughness.astype(jnp.float32)[:, None],
-            mats.emissive.astype(jnp.float32)[:, None],
-            mats.base_color,
-        ],
-        axis=-1,
-    )  # (K, 8)
-    mrec = mat_rec[material_id]
-    mat_albedo = mrec[..., 0].astype(jnp.int32)
-    mat_normal = mrec[..., 1].astype(jnp.int32)
-    base_color_a = mrec[..., 7]
 
     # Mip LOD from screen-space uv derivatives.
     tex_w = scene.textures.size[mat_albedo][..., 0].astype(jnp.float32)

@@ -18,6 +18,7 @@ fully data-parallel, ideal for the VPU. Faithfully reproduced semantics:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import encoding, fastmath
@@ -75,6 +76,39 @@ def uv_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # LTC (utils/ltc.wgsl)
 # ---------------------------------------------------------------------------
+
+
+def sample_lut_bilinear_mxu(table: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free bilinear LUT sample: two dense contractions on the MXU.
+
+    `table`: (H, W) single-channel f32. `uv`: (..., 2) pre-scaled by
+    LUT_SCALE/BIAS (taps never cross the clamp border, so this matches
+    sample_lut_bilinear exactly up to f32 rounding). Gathers cost ~5 ns/row
+    on this TPU (measured) — 4 of these per pixel made the LTC horizon-clip
+    fetch the hottest op in the frame; as matmuls the same math rides the
+    MXU at >100x the gather rate.
+    """
+    h, w = table.shape
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 1)
+    tx = fx - x0
+    ty = fy - y0
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    iy = jnp.arange(h, dtype=jnp.float32)
+    wy = (iy == y0[..., None]) * (1.0 - ty[..., None]) + (
+        iy == y1[..., None]
+    ) * ty[..., None]  # (..., H) two-tap row weights
+    rows = jnp.matmul(
+        wy.reshape(-1, h), table, precision=jax.lax.Precision.HIGHEST
+    ).reshape(uv.shape[:-1] + (w,))
+    ix = jnp.arange(w, dtype=jnp.float32)
+    wx = (ix == x0[..., None]) * (1.0 - tx[..., None]) + (
+        ix == x1[..., None]
+    ) * tx[..., None]
+    return jnp.sum(rows * wx, axis=-1)
 
 
 def integrate_edge(v1, v2):
@@ -143,7 +177,7 @@ def ltc_evaluate_rect(scene: SceneData, nor, view, pos, mminv, points, two_sided
     z = vsum[..., 2] / jnp.maximum(length, 1e-20)
     z = jnp.where(behind, -z, z)
     uv = jnp.stack([z * 0.5 + 0.5, length], axis=-1) * LUT_SCALE + LUT_BIAS
-    scale = sample_lut_bilinear(scene.ltc2_quads, 64, uv)[..., 3]
+    scale = sample_lut_bilinear_mxu(scene.ltc2[..., 3], uv)
     total = length * scale
     if not two_sided:
         total = jnp.where(behind, 0.0, total)
@@ -379,7 +413,7 @@ def ltc_evaluate_polygon(scene: SceneData, nor, view, pos, mminv, points,
     z = vsum[..., 2] / jnp.maximum(length, 1e-20)
     z = jnp.where(behind, -z, z)
     uv = jnp.stack([z * 0.5 + 0.5, length], axis=-1) * LUT_SCALE + LUT_BIAS
-    scale = sample_lut_bilinear(scene.ltc2_quads, 64, uv)[..., 3]
+    scale = sample_lut_bilinear_mxu(scene.ltc2[..., 3], uv)
     total = length * scale
     if not two_sided:
         total = jnp.where(behind, 0.0, total)

@@ -178,12 +178,14 @@ class MeshPoolData:
     # bound (~4ns/row regardless of width), so the raster setup fetches one
     # wide row per triangle instead of 3 index + 3 position gathers.
     tri_pos: jnp.ndarray  # (T_pool, 9) f32
-    # De-indexed per-corner attributes, one row per triangle per corner:
-    # [normal(3), tangent(4), uv(2), pad(3)] — G-buffer resolve fetches 3
-    # rows per pixel instead of 3 index + 9 attribute gathers.
-    tri_attr0: jnp.ndarray  # (T_pool, 12) f32
-    tri_attr1: jnp.ndarray  # (T_pool, 12) f32
-    tri_attr2: jnp.ndarray  # (T_pool, 12) f32
+    # De-indexed per-triangle corner attributes packed into ONE 48-byte
+    # u32 row (gathers are row-rate bound; resolve pays 1 gather/pixel
+    # instead of 3): [uv0.xy, uv1.xy, uv2.xy as f32 bits (6) | octahedral
+    # corner normals (3) | octahedral corner tangents, w-sign in the LSB
+    # (3)]. Quantization: normals/tangents at oct-32 (the G-buffer already
+    # stores the interpolated normal octahedrally — encoding.wgsl:1-28);
+    # uv exact f32.
+    tri_attr_packed: jnp.ndarray  # (T_pool, 12) u32
 
 
 class MeshPool:
@@ -268,28 +270,33 @@ class MeshPool:
         )
 
     def _tri_attrs(self) -> dict:
-        outs = {0: [], 1: [], 2: []}
+        from ..core.encoding import encode_octahedral_32_np
+
+        rows = []
         for verts, normals, tangents, uvs, idx in zip(
             self.positions, self.normals, self.tangents, self.uvs, self.indices
         ):
-            tri = idx.reshape(-1, 3)
-            for k in range(3):
-                vid = tri[:, k]
-                row = np.concatenate(
-                    [
-                        normals[vid],
-                        tangents[vid],
-                        uvs[vid],
-                        np.zeros((len(vid), 3), np.float32),
-                    ],
-                    axis=-1,
-                )
-                outs[k].append(row.astype(np.float32))
-        return {
-            f"tri_attr{k}": (
-                np.concatenate(v) if v else np.zeros((0, 12), np.float32)
+            tri = idx.reshape(-1, 3)  # (t, 3)
+            t = tri.shape[0]
+            row = np.zeros((t, 12), np.uint32)
+            row[:, 0:6] = (
+                uvs[tri].reshape(t, 6).astype(np.float32).view(np.uint32)
             )
-            for k, v in outs.items()
+            for k in range(3):
+                row[:, 6 + k] = encode_octahedral_32_np(normals[tri[:, k]])
+                tang = tangents[tri[:, k]]
+                enc = encode_octahedral_32_np(tang[:, :3])
+                # w-sign (glTF handedness, +/-1) stored in the LSB of the
+                # x quantization (2^-16 normal perturbation — negligible).
+                enc = (enc & np.uint32(~np.uint32(1))) | (
+                    tang[:, 3] < 0.0
+                ).astype(np.uint32)
+                row[:, 9 + k] = enc
+            rows.append(row)
+        return {
+            "tri_attr_packed": (
+                np.concatenate(rows) if rows else np.zeros((0, 12), np.uint32)
+            )
         }
 
     def _tri_pos(self) -> np.ndarray:
