@@ -18,6 +18,22 @@ import time
 import numpy as np
 
 
+def retry_transient(fn, attempts=3, label="bench"):
+    """The axon TPU tunnel occasionally throws transient 'TPU backend error
+    (Internal)' (CLAUDE.md) — retry the whole measurement instead of letting
+    one flake produce a bad BENCH_rN capture."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jaxlib.xla_extension.XlaRuntimeError etc.
+            transient = "Internal" in str(e) or "UNAVAILABLE" in str(e)
+            if i + 1 == attempts or not transient:
+                raise
+            print(f"# {label}: transient TPU error, retry {i + 1}: "
+                  f"{str(e)[:120]}", file=sys.stderr)
+            time.sleep(2.0)
+
+
 def build_world(n_instances=10_000, seed=0):
     import voidin_tpu as vt
     from voidin_tpu.core import mathx
@@ -117,16 +133,20 @@ def run_preset(n, profile=False):
         enable_rt_shadows=p.enable_rt_shadows,
         moving_ids=np.asarray(p.moving_ids, np.int32),
     )
-    img = r.render(p.camera)
-    _ = float(img.sum())
-    times = {}
-    for k in (1, 5):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            img = r.render(p.camera, dt=1 / 60)
+
+    def measure():
+        img = r.render(p.camera)
         _ = float(img.sum())
-        times[k] = time.perf_counter() - t0
-    ms = (times[5] - times[1]) / 4 * 1000.0
+        times = {}
+        for k in (1, 5):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                img = r.render(p.camera, dt=1 / 60)
+            _ = float(img.sum())
+            times[k] = time.perf_counter() - t0
+        return (times[5] - times[1]) / 4 * 1000.0
+
+    ms = retry_transient(measure, label=f"config {n}")
     print(
         json.dumps(
             {
@@ -173,18 +193,21 @@ def main():
     # Warmup / compile. NOTE: block_until_ready is a NO-OP on the axon
     # platform; the only true sync is a device->host transfer, and per-call
     # overhead is cancelled by the two-point slope.
-    img = r.render(cam)
-    _ = float(img.sum())
-
-    n1, n2 = (1, 9) if backend != "cpu" else (1, 3)
-    times = {}
-    for n in (n1, n2):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            img = r.render(cam, dt=1 / 60)
+    def measure():
+        img = r.render(cam)
         _ = float(img.sum())
-        times[n] = time.perf_counter() - t0
-    ms = (times[n2] - times[n1]) / (n2 - n1) * 1000.0
+
+        n1, n2 = (1, 9) if backend != "cpu" else (1, 3)
+        times = {}
+        for n in (n1, n2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                img = r.render(cam, dt=1 / 60)
+            _ = float(img.sum())
+            times[n] = time.perf_counter() - t0
+        return (times[n2] - times[n1]) / (n2 - n1) * 1000.0
+
+    ms = retry_transient(measure)
 
     draws = int(r.aux["draw_count"])
     overflow = int(r.aux["overflow"])
