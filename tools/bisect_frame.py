@@ -20,6 +20,8 @@ from tools.tpu_timeit import slope_time  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write marginals as BENCH_DETAIL-style JSON")
     args = ap.parse_args()
 
     import jax
@@ -106,11 +108,14 @@ def main():
 
     stages = ["cull", "setup", "bin", "raster", "resolve", "shade", "taa", "full"]
     prev = 0.0
+    marginals = {}
     print(f"backend={backend}")
     for s in stages:
         ms = slope_time(upto(s))
         print(f"{s:10s} cum {ms:8.2f} ms   marginal {ms - prev:8.2f} ms")
+        marginals[s] = round(ms - prev, 3)
         prev = ms
+    cum_full = prev
 
     # The real frame program (render_frame), threading scene/state exactly
     # like Renderer.render — isolates donation/aux overhead vs the
@@ -149,7 +154,27 @@ def main():
         t0 = _time.perf_counter()
         _, sc, st = run(5, sc, st)
         tb = _time.perf_counter() - t0
-        print(f"{label:26s} {(tb - ta) / 4 * 1000.0:8.2f} ms")
+        ms = (tb - ta) / 4 * 1000.0
+        print(f"{label:26s} {ms:8.2f} ms")
+        marginals[label] = round(ms, 3)
+
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "backend": backend,
+                    "scene": "north-star 10k instances 1080p",
+                    "method": "in-context cumulative slope (tools/bisect_frame.py)",
+                    "stage_marginal_ms": marginals,
+                    "sum_of_stages_ms": round(cum_full, 3),
+                },
+                f,
+                indent=2,
+            )
+            f.write("\n")
+        print("wrote", args.out)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,12 @@ class RasterConfig:
     # (visibility.wgsl:79-81 discard semantics). Costs ~15% fine-raster
     # time; Renderer enables it only when SceneData.alpha_masked.
     alpha_mask: bool = False
+    # Carry record fields through the tile sort instead of a random
+    # post-sort gather. Measured SLOWER on the north-star scene (32.4 vs
+    # 27.9 ms for the bin stage: the 10-operand sort + field re-stack costs
+    # more than the 64 B gather at ~6.6 ns/row) — kept as an option for
+    # scenes with far higher pair counts where sort scaling could win.
+    sort_payload: bool = False
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W
@@ -440,7 +446,25 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     tile = (br[:, 1] + local // br[:, 2]) * TX + (br[:, 0] + local % br[:, 2])
     tile = jnp.where(pair_valid, tile, NT)
 
-    tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, tri)
+    if config.sort_payload:
+        # Sort the 10 live record fields ALONG with the tile key instead of
+        # gathering records afterwards: a RANDOM gather of 1M 64 B rows
+        # from a ~70 MB table runs at ~25 ns/row (cache-hostile), while the
+        # pre-sort expansion gather uses the MONOTONIC `tri` stream
+        # (~5x cheaper) and lax.sort's data movement is streaming.
+        rec_pairs = setup["raster_rec"][tri]  # monotonic gather, (E, 16)
+        ops = jax.lax.sort(
+            (tile,) + tuple(rec_pairs[:, f] for f in range(10)),
+            num_keys=1,
+        )
+        tile_sorted = ops[0]
+        rec_sorted = jnp.stack(
+            list(ops[1:]) + [jnp.zeros_like(ops[1])] * (fr.RECORD_F - 10),
+            axis=-1,
+        )
+    else:
+        tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, tri)
+        rec_sorted = setup["raster_rec"][tri_sorted]  # (E, 16), tile order
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(NT + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -449,7 +473,6 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
 
     from ..ops.fine_raster import CHUNK
 
-    rec_sorted = setup["raster_rec"][tri_sorted]  # (E, 16), tile order
     # pad: one chunk for round-down + up to a chunk of capacity remainder
     pad = 2 * CHUNK - (E % CHUNK if E % CHUNK else CHUNK) + CHUNK
     rec_sorted = jnp.concatenate(

@@ -78,17 +78,17 @@ def uv_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def sample_lut_bilinear_mxu(table: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Gather-free bilinear LUT sample: two dense contractions on the MXU.
+def sample_lut_bilinear_mxu_multi(tables, uv: jnp.ndarray):
+    """Gather-free bilinear LUT samples: two dense contractions on the MXU,
+    two-tap weight matrices shared across all tables.
 
-    `table`: (H, W) single-channel f32. `uv`: (..., 2) pre-scaled by
-    LUT_SCALE/BIAS (taps never cross the clamp border, so this matches
-    sample_lut_bilinear exactly up to f32 rounding). Gathers cost ~5 ns/row
-    on this TPU (measured) — 4 of these per pixel made the LTC horizon-clip
-    fetch the hottest op in the frame; as matmuls the same math rides the
-    MXU at >100x the gather rate.
-    """
-    h, w = table.shape
+    `tables`: list of (H, W) single-channel f32 (same shape). `uv`: (..., 2)
+    pre-scaled by LUT_SCALE/BIAS (taps never cross the clamp border, so this
+    matches sample_lut_bilinear exactly up to f32 rounding). Gathers cost
+    ~5 ns/row on this TPU (measured) — several per pixel made the LTC LUT
+    fetches the hottest ops in the frame; as matmuls the same math rides
+    the MXU at a fraction of the cost."""
+    h, w = tables[0].shape
     fx = uv[..., 0] * w - 0.5
     fy = uv[..., 1] * h - 0.5
     x0 = jnp.clip(jnp.floor(fx), 0, w - 1)
@@ -101,14 +101,26 @@ def sample_lut_bilinear_mxu(table: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     wy = (iy == y0[..., None]) * (1.0 - ty[..., None]) + (
         iy == y1[..., None]
     ) * ty[..., None]  # (..., H) two-tap row weights
-    rows = jnp.matmul(
-        wy.reshape(-1, h), table, precision=jax.lax.Precision.HIGHEST
-    ).reshape(uv.shape[:-1] + (w,))
     ix = jnp.arange(w, dtype=jnp.float32)
     wx = (ix == x0[..., None]) * (1.0 - tx[..., None]) + (
         ix == x1[..., None]
     ) * tx[..., None]
-    return jnp.sum(rows * wx, axis=-1)
+    # One (P, H) @ (H, W) matmul per channel, weight matrices shared and
+    # the wx-reduce fused as the matmul epilogue — avoids a (P, W, C)
+    # materialization an einsum formulation would create.
+    wy_flat = wy.reshape(-1, h)
+    out = []
+    for t in tables:
+        rows = jnp.matmul(
+            wy_flat, t, precision=jax.lax.Precision.HIGHEST
+        ).reshape(uv.shape[:-1] + (w,))
+        out.append(jnp.sum(rows * wx, axis=-1))
+    return out
+
+
+def sample_lut_bilinear_mxu(table: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Single-table convenience wrapper over sample_lut_bilinear_mxu_multi."""
+    return sample_lut_bilinear_mxu_multi([table], uv)[0]
 
 
 def integrate_edge(v1, v2):
@@ -126,13 +138,27 @@ def integrate_edge(v1, v2):
     return jnp.cross(v1, v2) * theta_sintheta[..., None]
 
 
+# Evaluate the ltc12 matrix fetch on the MXU instead of per-pixel gathers
+# (A/B-measured on the north-star scene; flip for experiments).
+LTC12_MXU = True
+
+
 def ltc_matrix(scene: SceneData, nor, view, roughness):
     """ltc.wgsl:160-177: fetch inverse-M + the LTC2 norm/fresnel texel."""
     ndotv = jnp.clip(jnp.sum(nor * view, axis=-1), 0.0, 1.0)
     uv = jnp.stack([roughness, jnp.sqrt(1.0 - ndotv)], axis=-1)
     uv = uv * LUT_SCALE + LUT_BIAS
-    t12 = sample_lut_bilinear(scene.ltc12_quads, 64, uv, channels=8)
-    t1, t2 = t12[..., :4], t12[..., 4:]
+    if LTC12_MXU:
+        # Only 5 of the 8 packed channels are consumed (t1.xyzw + t2.x);
+        # the two-tap weight matrices are shared across the 5 contractions.
+        chans = [scene.ltc1[..., c] for c in range(4)] + [scene.ltc2[..., 0]]
+        vals = sample_lut_bilinear_mxu_multi(chans, uv)
+        t1 = jnp.stack(vals[:4], axis=-1)
+        zero2 = jnp.zeros_like(vals[4])
+        t2 = jnp.stack([vals[4], zero2, zero2, zero2], axis=-1)
+    else:
+        t12 = sample_lut_bilinear(scene.ltc12_quads, 64, uv, channels=8)
+        t1, t2 = t12[..., :4], t12[..., 4:]
     # WGSL columns (t1.x,0,t1.y),(0,1,0),(t1.z,0,t1.w) -> row-major matrix.
     zero = jnp.zeros_like(t1[..., 0])
     one = jnp.ones_like(zero)
