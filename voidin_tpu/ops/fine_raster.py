@@ -228,20 +228,40 @@ def _kernel_pairs(
                 )
                 ok = (idf >= 0.0) & in_range  # (1, CHUNK)
 
+                # Per-chunk hoists (constant across the 16 pixel columns):
+                # edge slopes, the py-dependent edge part (py varies only
+                # by sublane), and the area reciprocal. Inner loop per
+                # column: 2 ops per edge + 5 for depth instead of ~16.
+                # Everything is recentered on the tile origin so the
+                # products stay at tile/triangle magnitude — the naive
+                # hoist px*dy - (sx*dy + ...) at screen magnitudes (~2e6)
+                # loses ~0.25 absolute in e and corrupts small-triangle
+                # depths; recentered it matches the per-pixel form's
+                # precision.
+                rx0, rx1, rx2 = sx0 - tx0, sx1 - tx0, sx2 - tx0
+                ry0, ry1, ry2 = sy0 - ty0, sy1 - ty0, sy2 - ty0
+                py = ys + 0.5  # (8, 1) tile-relative
+                dx0, dy0 = rx1 - rx0, ry1 - ry0
+                dx1, dy1 = rx2 - rx1, ry2 - ry1
+                dx2, dy2 = rx0 - rx2, ry0 - ry2
+                c0 = rx0 * dy0 + (py - ry0) * dx0  # (8, CHUNK)
+                c1 = rx1 * dy1 + (py - ry1) * dx1
+                c2 = rx2 * dy2 + (py - ry2) * dx2
+                area2 = dy0 * dx1 - dx0 * dy1  # = e0+e1+e2 algebraically
+                inv = 1.0 / jnp.where(jnp.abs(area2) > 1e-20, area2, 1e-20)
+                zi0, zi1, zi2 = z0 * inv, z1 * inv, z2 * inv
+
                 if track2:
                     bd, bi, bd2, bi2 = carry
                 else:
                     bd, bi = carry
                 for g in range(TILE_W):
-                    px = tx0 + g + 0.5  # scalar
-                    py = ty0 + ys + 0.5  # (8, 1)
-                    e0 = (px - sx0) * (sy1 - sy0) - (py - sy0) * (sx1 - sx0)
-                    e1 = (px - sx1) * (sy2 - sy1) - (py - sy1) * (sx2 - sx1)
-                    e2 = (px - sx2) * (sy0 - sy2) - (py - sy2) * (sx0 - sx2)
+                    px = g + 0.5  # scalar, tile-relative
+                    e0 = px * dy0 - c0
+                    e1 = px * dy1 - c1
+                    e2 = px * dy2 - c2
                     inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & ok
-                    ssum = e0 + e1 + e2
-                    inv = 1.0 / jnp.where(jnp.abs(ssum) > 1e-20, ssum, 1e-20)
-                    depth = (e1 * z0 + e2 * z1 + e0 * z2) * inv
+                    depth = e1 * zi0 + e2 * zi1 + e0 * zi2
                     cand = jnp.where(inside, depth, -1.0)  # (8, CHUNK)
                     gmax = jnp.max(cand, axis=1, keepdims=True)  # (8, 1)
                     gid = jnp.max(

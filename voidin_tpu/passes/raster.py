@@ -65,6 +65,9 @@ class RasterConfig:
     # more than the 64 B gather at ~6.6 ns/row) — kept as an option for
     # scenes with far higher pair counts where sort scaling could win.
     sort_payload: bool = False
+    # Two-stream pair binning (first tile 1:1, extras via compacted
+    # expansion at pair_capacity/4) vs single-stream general expansion.
+    two_stream_bin: bool = True
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W
@@ -129,8 +132,16 @@ def segment_ids_from_counts(counts: jnp.ndarray, cap: int):
     marks = marks.at[jnp.minimum(starts, cap)].max(seg_of_start, mode="drop")
     seg = jax.lax.cummax(marks)
     e = jnp.arange(cap, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones(1, jnp.bool_), seg[1:] != seg[:-1]])
-    start_pos = jax.lax.cummax(jnp.where(is_start, e, 0))
+    if counts.shape[0] <= (1 << 16):
+        # Small segment table: gather the start positions instead of a
+        # second cap-sized cummax (small-table gathers ~2.5 ns/row vs
+        # ~5 ms per 1M-element cummax — tools/microbench_scans.py).
+        start_pos = starts[seg]
+    else:
+        is_start = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), seg[1:] != seg[:-1]]
+        )
+        start_pos = jax.lax.cummax(jnp.where(is_start, e, 0))
     local = e - start_pos
     return seg, local, e < total
 
@@ -417,10 +428,17 @@ def bin_triangles(setup: dict, config: RasterConfig):
 
 def bin_triangles_pairs(setup: dict, config: RasterConfig):
     """Pair-centric binning: tile-sorted records + per-tile ranges, no
-    per-tile capacity (feeds ops/fine_raster.fine_raster_pairs)."""
+    per-tile capacity (feeds ops/fine_raster.fine_raster_pairs).
+
+    Two-stream pair construction (scan-diet — measured on TPU, scans and
+    scatters at 1M elements cost 4-10 ms EACH while sorts are ~0.6 ms/M,
+    tools/microbench_scans.py): every triangle's FIRST tile is a direct
+    1:1 slot (no expansion at all); only multi-tile triangles (~15% of a
+    typical scene) are compacted by a sort and expanded at
+    pair_capacity/4 scale, cutting the expansion scans 4x."""
     TX, TY = config.tiles_x, config.tiles_y
     NT = config.n_tiles_padded
-    E = config.pair_capacity
+    EB = config.pair_capacity // 4  # extra-pair stream capacity
 
     sx, sy, alive = setup["sx"], setup["sy"], setup["alive"]
     x0 = jnp.floor(jnp.min(sx, axis=-1))
@@ -437,14 +455,47 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     bw = tx1 - tx0 + 1
     n_pairs = jnp.where(alive, bw * (ty1 - ty0 + 1), 0)
     bbox_rec = jnp.stack([tx0, ty0, bw], axis=-1)
+    EA = n_pairs.shape[0]  # tri work items (tri_capacity + extras tail)
 
-    tri, local, pair_valid = segment_ids_from_counts(n_pairs, E)
-    cum = saturating_cumsum(n_pairs)
-    overflow = jnp.maximum(cum[-1] - E, 0)
+    if config.two_stream_bin:
+        # Stream A: first tile per alive triangle, slot i <-> triangle i.
+        tile_a = jnp.where(alive, ty0 * TX + tx0, NT)
+        tri_a = jnp.arange(EA, dtype=jnp.int32)
 
-    br = bbox_rec[tri]
-    tile = (br[:, 1] + local // br[:, 2]) * TX + (br[:, 0] + local % br[:, 2])
-    tile = jnp.where(pair_valid, tile, NT)
+        # Stream B: remaining tiles of multi-tile triangles, compacted.
+        n_extra = jnp.maximum(n_pairs - 1, 0)
+        has_extra = n_extra > 0
+        parents = jnp.argsort(~has_extra, stable=True)[:EB]  # tri ids
+        counts_b = jnp.where(has_extra[parents], n_extra[parents], 0)
+        seg_b, local_b, valid_b = segment_ids_from_counts(counts_b, EB)
+        tri_b = parents[seg_b]
+        br = bbox_rec[tri_b]  # monotonic-ish gather, small row
+        k = local_b + 1  # tile within the parent bbox, skipping (0, 0)
+        tile_b = (br[:, 1] + k // br[:, 2]) * TX + (br[:, 0] + k % br[:, 2])
+        tile_b = jnp.where(valid_b, tile_b, NT)
+
+        # Pairs not placed in B (parents beyond the EB compaction window
+        # have counts_b == 0 there, so total_extra - placed covers them
+        # too). f32 accumulation: exact while < 2^24, immune to i32 wrap.
+        total_extra = jnp.sum(n_extra.astype(jnp.float32))
+        placed_b = jnp.minimum(jnp.sum(counts_b), EB)
+        overflow = jnp.maximum(
+            total_extra - placed_b.astype(jnp.float32), 0.0
+        ).astype(jnp.int32)
+
+        tile = jnp.concatenate([tile_a, tile_b])
+        tri = jnp.concatenate([tri_a, tri_b])
+    else:
+        # Single-stream general expansion (scan-heavy baseline).
+        E = config.pair_capacity
+        tri, local, pair_valid = segment_ids_from_counts(n_pairs, E)
+        cum = saturating_cumsum(n_pairs)
+        overflow = jnp.maximum(cum[-1] - E, 0)
+        br = bbox_rec[tri]
+        tile = (br[:, 1] + local // br[:, 2]) * TX + (
+            br[:, 0] + local % br[:, 2]
+        )
+        tile = jnp.where(pair_valid, tile, NT)
 
     if config.sort_payload:
         # Sort the 10 live record fields ALONG with the tile key instead of
@@ -474,7 +525,8 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     from ..ops.fine_raster import CHUNK
 
     # pad: one chunk for round-down + up to a chunk of capacity remainder
-    pad = 2 * CHUNK - (E % CHUNK if E % CHUNK else CHUNK) + CHUNK
+    e_total = rec_sorted.shape[0]
+    pad = 2 * CHUNK - (e_total % CHUNK if e_total % CHUNK else CHUNK) + CHUNK
     rec_sorted = jnp.concatenate(
         [rec_sorted, jnp.zeros((pad, fr.RECORD_F), jnp.float32)]
     )
