@@ -34,10 +34,9 @@ def _camera(aspect):
 
 def _oracle_raster(setup, width, height):
     """Brute-force per-pixel rasterizer over the *same* setup data."""
-    rec = np.asarray(setup["raster_rec"])
-    sx = rec[:, 0:3]
-    sy = rec[:, 3:6]
-    z = rec[:, 6:9]
+    sx = np.asarray(setup["sx"])
+    sy = np.asarray(setup["sy"])
+    z = np.asarray(setup["sz"])
     alive = np.asarray(setup["alive"])
     depth = np.zeros((height, width), np.float32)
     tid = np.full((height, width), -1, np.int32)

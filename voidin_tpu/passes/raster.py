@@ -99,7 +99,11 @@ class RasterConfig:
         return self.tiles_y * self.tile_h
 
 
-_SAT = jnp.int32(1 << 29)  # saturation bound: 2*_SAT still fits in int32
+# Saturation bound: 2*_SAT still fits in int32. Plain Python int: a
+# module-level jnp scalar would initialize the JAX backend at import time,
+# before applications can pin jax_platforms (the ONLY way to force CPU on
+# this platform — CLAUDE.md).
+_SAT = 1 << 29
 
 
 def saturating_cumsum(counts: jnp.ndarray) -> jnp.ndarray:
@@ -293,17 +297,52 @@ def triangle_setup(
     valid_extra = jnp.arange(ecap) < jnp.minimum(n_extras, ecap)
 
     def pack_raster(sxv, syv, zv, alivev, ids):
+        """Affine coefficient record: e_k(p) = ax_k*px + ay_k*py + b_k and
+        the depth plane, in a per-triangle anchor frame (bbox corner) so
+        products stay at triangle magnitude; binning re-bases b to each
+        pair's tile origin. Dead records zero out with bd = -1 so their
+        candidates never win."""
         idf = jnp.where(alivev, ids.astype(jnp.float32), -1.0)
         n = sxv.shape[0]
-        return jnp.concatenate(
+        anchor_x = jnp.floor(jnp.min(sxv, axis=-1))
+        anchor_y = jnp.floor(jnp.min(syv, axis=-1))
+        rx = sxv - anchor_x[:, None]
+        ry = syv - anchor_y[:, None]
+        nxt = jnp.array([1, 2, 0])
+        dx = rx[:, nxt] - rx  # (n, 3) per-edge deltas
+        dy = ry[:, nxt] - ry
+        ax = dy
+        ay = -dx
+        b = ry * dx - rx * dy
+        area2 = dy[:, 0] * dx[:, 1] - dx[:, 0] * dy[:, 1]  # = e0+e1+e2
+        inv = 1.0 / jnp.where(jnp.abs(area2) > 1e-20, area2, 1e-20)
+        # depth = (e1 z0 + e2 z1 + e0 z2) / area2, coefficient-wise
+        zrot = zv[:, jnp.array([2, 0, 1])]  # weight of edge k is z[(k+2)%3]
+        axd = jnp.sum(ax * zrot, axis=-1) * inv
+        ayd = jnp.sum(ay * zrot, axis=-1) * inv
+        bd = jnp.sum(b * zrot, axis=-1) * inv
+        dead = ~alivev
+        rec = jnp.concatenate(
             [
-                sxv,
-                syv,
-                zv,
+                jnp.stack([ax[:, 0], ay[:, 0], b[:, 0],
+                           ax[:, 1], ay[:, 1], b[:, 1],
+                           ax[:, 2], ay[:, 2], b[:, 2],
+                           axd, ayd, bd], axis=-1),
                 idf[:, None],
-                jnp.zeros((n, fr.RECORD_F - 10), jnp.float32),
+                anchor_x[:, None],
+                anchor_y[:, None],
+                jnp.zeros((n, fr.RECORD_F - 15), jnp.float32),
             ],
             axis=-1,
+        )
+        return jnp.where(
+            dead[:, None],
+            jnp.concatenate(
+                [jnp.zeros((n, 11), jnp.float32),
+                 jnp.full((n, 1), -1.0),  # bd
+                 jnp.full((n, 1), -1.0),  # idf
+                 jnp.zeros((n, 3), jnp.float32)], axis=-1),
+            rec,
         )
 
     e = jnp.arange(cap, dtype=jnp.int32)
@@ -334,12 +373,16 @@ def triangle_setup(
     resolve_rec = jnp.concatenate([resolve_rec, resolve_rec[extra_src]])
 
     work_total = jnp.minimum(tri_total, cap) + jnp.minimum(n_extras, ecap)
-    sx = raster_rec[:, fr.F_SX : fr.F_SX + 3]
-    sy = raster_rec[:, fr.F_SY : fr.F_SY + 3]
+    # Screen-space vertices per work item (binning bboxes + test oracles);
+    # the raster record itself carries only affine coefficients.
+    sx = jnp.concatenate([sx1, sx2[extra_src]])
+    sy = jnp.concatenate([sy1, sy2[extra_src]])
+    sz = jnp.concatenate([z1, z2[extra_src]])
 
     return dict(
         sx=sx,
         sy=sy,
+        sz=sz,
         alive=raster_rec[:, fr.F_ID] >= 0.0,
         raster_rec=raster_rec,
         resolve_rec=resolve_rec,
@@ -351,6 +394,23 @@ def triangle_setup(
 # ---------------------------------------------------------------------------
 # 2. Binning
 # ---------------------------------------------------------------------------
+
+
+def bake_tile_origin(rec, tiles, config: RasterConfig):
+    """Re-base record b coefficients from the per-triangle anchor frame to
+    each pair's tile origin: the kernels then evaluate edges/depth with
+    tile-LOCAL pixel coordinates only. b' = b + ax*(tx0 - anchor_x) +
+    ay*(ty0 - anchor_y); products stay at triangle/tile magnitude."""
+    tx0 = ((tiles % config.tiles_x) * config.tile_w).astype(jnp.float32)
+    ty0 = ((tiles // config.tiles_x) * config.tile_h).astype(jnp.float32)
+    offx = tx0 - rec[..., fr.F_ANCHOR]
+    offy = ty0 - rec[..., fr.F_ANCHOR + 1]
+    out = rec
+    for q in range(4):  # e0, e1, e2, depth
+        axc = rec[..., 3 * q]
+        ayc = rec[..., 3 * q + 1]
+        out = out.at[..., 3 * q + 2].add(axc * offx + ayc * offy)
+    return out
 
 
 def bin_triangles(setup: dict, config: RasterConfig):
@@ -410,10 +470,14 @@ def bin_triangles(setup: dict, config: RasterConfig):
     ).astype(jnp.int32)
     counts = jnp.minimum(counts, K)
 
-    # Gather packed raster records -> field-major (NT, RECORD_F, K).
+    # Gather packed raster records -> (NT, K, RECORD_F), then bake the
+    # coefficient b's to each tile's origin.
     rec = setup["raster_rec"]
     safe = jnp.maximum(tile_tris, 0)
     blocks = rec[safe.reshape(-1)].reshape(NT, K, fr.RECORD_F)
+    blocks = bake_tile_origin(
+        blocks, jnp.arange(NT, dtype=jnp.int32)[:, None], config
+    )
     # Invalidate empty slots via the id field.
     blocks = blocks.at[:, :, fr.F_ID].set(
         jnp.where(tile_tris >= 0, blocks[:, :, fr.F_ID], -1.0)
@@ -498,24 +562,23 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
         tile = jnp.where(pair_valid, tile, NT)
 
     if config.sort_payload:
-        # Sort the 10 live record fields ALONG with the tile key instead of
-        # gathering records afterwards: a RANDOM gather of 1M 64 B rows
-        # from a ~70 MB table runs at ~25 ns/row (cache-hostile), while the
-        # pre-sort expansion gather uses the MONOTONIC `tri` stream
-        # (~5x cheaper) and lax.sort's data movement is streaming.
+        # Sort the 15 live record fields ALONG with the tile key instead
+        # of gathering records afterwards (kept as an option; measured
+        # slower than the 64 B gather on the north-star scene).
         rec_pairs = setup["raster_rec"][tri]  # monotonic gather, (E, 16)
         ops = jax.lax.sort(
-            (tile,) + tuple(rec_pairs[:, f] for f in range(10)),
+            (tile,) + tuple(rec_pairs[:, f] for f in range(15)),
             num_keys=1,
         )
         tile_sorted = ops[0]
         rec_sorted = jnp.stack(
-            list(ops[1:]) + [jnp.zeros_like(ops[1])] * (fr.RECORD_F - 10),
+            list(ops[1:]) + [jnp.zeros_like(ops[1])] * (fr.RECORD_F - 15),
             axis=-1,
         )
     else:
         tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, tri)
         rec_sorted = setup["raster_rec"][tri_sorted]  # (E, 16), tile order
+    rec_sorted = bake_tile_origin(rec_sorted, tile_sorted, config)
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(NT + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -537,18 +600,15 @@ def fine_raster_xla(records, counts, config: RasterConfig, track2: bool = False)
     """Pure-XLA reference fine raster over the same record blocks.
 
     Used where a Pallas kernel cannot run (SPMD-sharded dryruns) and as the
-    oracle twin for the kernel. Semantics identical to ops/fine_raster.py.
+    oracle twin for the kernel. Affine-coefficient records with b baked to
+    each tile's origin (bin_triangles); semantics identical to
+    ops/fine_raster.py's block kernel.
     """
     NT, K, F = records.shape
     PX = config.tile_h * config.tile_w
-    t = jnp.arange(NT, dtype=jnp.int32)
     lane = jnp.arange(PX, dtype=jnp.float32)
-    lx = jnp.mod(lane, config.tile_w)
-    ly = jnp.floor(lane / config.tile_w)
-    px = (t % config.tiles_x)[:, None] * config.tile_w + lx[None, :] + 0.5
-    py = (t // config.tiles_x)[:, None] * config.tile_h + ly[None, :] + 0.5
-    px = px[:, None, :]  # (NT, 1, PX)
-    py = py[:, None, :]
+    px = (jnp.mod(lane, config.tile_w) + 0.5)[None, None, :]  # (1, 1, PX)
+    py = (jnp.floor(lane / config.tile_w) + 0.5)[None, None, :]
 
     G = fr.TRI_GROUP
 
@@ -559,19 +619,14 @@ def fine_raster_xla(records, counts, config: RasterConfig, track2: bool = False)
         def fld(f):
             return blk[:, :, f][:, :, None]  # (NT, G, 1)
 
-        sx0, sx1, sx2 = fld(fr.F_SX), fld(fr.F_SX + 1), fld(fr.F_SX + 2)
-        sy0, sy1, sy2 = fld(fr.F_SY), fld(fr.F_SY + 1), fld(fr.F_SY + 2)
-        z0, z1, z2 = fld(fr.F_Z), fld(fr.F_Z + 1), fld(fr.F_Z + 2)
         idf = fld(fr.F_ID)
         in_count = (g * G + jnp.arange(G))[None, :, None] < counts[:, None, None]
 
-        e0 = (px - sx0) * (sy1 - sy0) - (py - sy0) * (sx1 - sx0)
-        e1 = (px - sx1) * (sy2 - sy1) - (py - sy1) * (sx2 - sx1)
-        e2 = (px - sx2) * (sy0 - sy2) - (py - sy2) * (sx0 - sx2)
+        e0 = fld(0) * px + fld(1) * py + fld(2)
+        e1 = fld(3) * px + fld(4) * py + fld(5)
+        e2 = fld(6) * px + fld(7) * py + fld(8)
+        depth = fld(fr.F_D) * px + fld(fr.F_D + 1) * py + fld(fr.F_D + 2)
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (idf >= 0) & in_count
-        ssum = e0 + e1 + e2
-        inv = 1.0 / jnp.where(jnp.abs(ssum) > 1e-20, ssum, 1e-20)
-        depth = (e1 * z0 + e2 * z1 + e0 * z2) * inv
         cand = jnp.where(inside, depth, -1.0)
         gmax = jnp.max(cand, axis=1)  # (NT, PX)
         gid = jnp.max(jnp.where(cand == gmax[:, None, :], idf, -1.0), axis=1)
