@@ -120,9 +120,9 @@ def run_preset(n, profile=False):
     cfg = RasterConfig(
         width=1920,
         height=1080,
-        tri_capacity=1 << 20,
-        pair_capacity=1 << 22,
-        tile_tri_capacity=128,
+        tri_capacity=p.tri_capacity,
+        pair_capacity=p.pair_capacity,
+        tile_tri_capacity=p.tile_tri_capacity,
         interpret=backend == "cpu",
     )
     r = Renderer(
@@ -148,12 +148,19 @@ def run_preset(n, profile=False):
 
     ms = retry_transient(measure, label=f"config {n}")
     print(
+        f"# config {n}: draws={int(r.aux['draw_count'])} "
+        f"overflow={int(r.aux['overflow'])} "
+        f"coverage={int(r.aux['vis_coverage'])}",
+        file=sys.stderr,
+    )
+    print(
         json.dumps(
             {
                 "metric": f"ms/frame 1080p BASELINE config {n}",
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.6 / ms, 4),
+                "overflow": int(r.aux["overflow"]),
             }
         )
     )

@@ -44,6 +44,12 @@ class Preset:
     enable_taa: bool = True
     enable_rt_shadows: bool = False
     with_tlas: bool = False
+    # Capacity hints: padded ops cost by CAPACITY, not live count — each
+    # preset sizes for its own worst case (validated by the overflow
+    # counter, which bench prints).
+    tri_capacity: int = 1 << 20
+    pair_capacity: int = 1 << 20
+    tile_tri_capacity: int = 128
 
 
 def config1_single_mesh(aspect: float) -> Preset:
@@ -60,7 +66,8 @@ def config1_single_mesh(aspect: float) -> Preset:
     )
     w.lights.add_point_light([3, 4, 4], 20.0, [1, 1, 1])
     cam = Camera(position=[0, 1.2, 3.4], pitch=-15.0, aspect=aspect)
-    return Preset(world=w, camera=cam, enable_cull=False, enable_taa=False)
+    return Preset(world=w, camera=cam, enable_cull=False, enable_taa=False,
+                  tri_capacity=1 << 17, pair_capacity=1 << 18)
 
 
 def config2_instanced_cull(aspect: float, n_instances: int = 1000) -> Preset:
@@ -76,7 +83,10 @@ def config2_instanced_cull(aspect: float, n_instances: int = 1000) -> Preset:
         w.instances.add(np.asarray(t), knot, mat)
     w.lights.add_point_light([0, 20, 0], 80.0, [1, 1, 1])
     cam = Camera(position=[0, 4, 40], pitch=-6.0, aspect=aspect)
-    return Preset(world=w, camera=cam, enable_taa=False)
+    # ~635 visible instances x 9.2k tris: a genuinely heavy dragon-x1k
+    # stand-in (5.9M drawn triangles, 2.8M pairs)
+    return Preset(world=w, camera=cam, enable_taa=False,
+                  tri_capacity=1 << 23, pair_capacity=1 << 22)
 
 
 def config3_gltf_arealights(aspect: float) -> Preset:
@@ -122,7 +132,8 @@ def config3_gltf_arealights(aspect: float) -> Preset:
     )
     w.lights.add_point_light([2, 3, 4], 12.0, [0.6, 0.6, 0.7])
     cam = Camera(position=[0, 2.5, 9.0], pitch=-12.0, aspect=aspect)
-    return Preset(world=w, camera=cam, enable_taa=False)
+    return Preset(world=w, camera=cam, enable_taa=False,
+                  tri_capacity=1 << 15, pair_capacity=1 << 18)
 
 
 def config4_animated_taa(aspect: float) -> Preset:
@@ -151,7 +162,8 @@ def config4_animated_taa(aspect: float) -> Preset:
         ),
     )
     cam = Camera(position=[0, 3, 4], pitch=-14.0, aspect=aspect)
-    return Preset(world=w, camera=cam, moving_ids=moving, enable_taa=True)
+    return Preset(world=w, camera=cam, moving_ids=moving, enable_taa=True,
+                  tri_capacity=1 << 16, pair_capacity=1 << 18)
 
 
 def config5_raytraced_shadows(aspect: float) -> Preset:
@@ -181,6 +193,8 @@ def config5_raytraced_shadows(aspect: float) -> Preset:
         enable_taa=False,
         enable_rt_shadows=True,
         with_tlas=True,
+        tri_capacity=1 << 17,
+        pair_capacity=1 << 19,
     )
 
 
