@@ -110,6 +110,8 @@ def run_preset(n, profile=False):
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+
     import voidin_tpu as vt
     from voidin_tpu.framework.presets import PRESETS
     from voidin_tpu.framework.renderer import Renderer
@@ -179,6 +181,7 @@ def main():
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE config 1-5; 0 = north-star 10k scene")
     args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
     if args.config:
         return run_preset(args.config)
 

@@ -21,9 +21,12 @@ def run_one(arg):
     cmd = [sys.executable, "-u", os.path.join(ROOT, "bench.py")]
     if arg:
         cmd += ["--config", str(arg)]
-    p = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=3000, cwd=ROOT
-    )
+    try:
+        p = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3000, cwd=ROOT
+        )
+    except subprocess.TimeoutExpired:
+        return {"config": arg or 0, "error": "timeout after 3000s"}
     line = ""
     for ln in p.stdout.splitlines():
         ln = ln.strip()
