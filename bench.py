@@ -136,14 +136,17 @@ def run_preset(n, profile=False):
         moving_ids=np.asarray(p.moving_ids, np.int32),
     )
 
+    def jm():
+        return p.animator(r.time) if p.animator else None
+
     def measure():
-        img = r.render(p.camera)
+        img = r.render(p.camera, joint_mats=jm())
         _ = float(img.sum())
         times = {}
         for k in (1, 5):
             t0 = time.perf_counter()
             for _ in range(k):
-                img = r.render(p.camera, dt=1 / 60)
+                img = r.render(p.camera, dt=1 / 60, joint_mats=jm())
             _ = float(img.sum())
             times[k] = time.perf_counter() - t0
         return (times[5] - times[1]) / 4 * 1000.0

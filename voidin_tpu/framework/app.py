@@ -109,6 +109,9 @@ class App:
         # renderer (PipelineArena + Watcher, app/pipeline.rs:253-351).
         self.pipelines = PipelineCache()
         self.post_hooks: list = []  # host-side (H,W,3)->(H,W,3) callables
+        # (J, 4, 4) joint matrices for skinned scenes; examples update this
+        # in Example.update (e.g. via io.gltf.GltfAnimator).
+        self.joint_mats = None
 
         example.init(self)
         example.setup_scene(self)
@@ -144,7 +147,10 @@ class App:
         self.pipelines.poll()  # hot reload: file events, lib.rs:196-198
         self.state.camera.update(FIXED_TIME_STEP)
         self.example.update(self, self.state)
-        img = self.renderer.render(self.state.camera, dt=FIXED_TIME_STEP)
+        img = self.renderer.render(
+            self.state.camera, dt=FIXED_TIME_STEP,
+            joint_mats=self.joint_mats,
+        )
         for hook in self.post_hooks:
             img = hook(img)
         self.state.frame_count += 1

@@ -50,6 +50,9 @@ class Preset:
     tri_capacity: int = 1 << 20
     pair_capacity: int = 1 << 20
     tile_tri_capacity: int = 128
+    # Per-frame (J, 4, 4) joint matrices for skinned scenes (config 4's
+    # clapping skinned geometry — beyond reference parity).
+    animator: Optional[object] = None
 
 
 def config1_single_mesh(aspect: float) -> Preset:
@@ -136,8 +139,82 @@ def config3_gltf_arealights(aspect: float) -> Preset:
                   tri_capacity=1 << 15, pair_capacity=1 << 18)
 
 
+def _add_clapper_arm(w: World, segments: int = 8, width: float = 0.6,
+                     height: float = 2.4):
+    """A vertical strip mesh with a 2-joint skin (hinge at the base, elbow
+    at mid-height); weights blend linearly along the height. Returns the
+    pool mesh id (skin registered on the world, 2 joints allocated)."""
+    from ..scene import skin as skin_mod
+    from ..scene.mesh import Mesh
+
+    rows = segments + 1
+    ys = np.linspace(0.0, height, rows, dtype=np.float32)
+    verts = np.stack(
+        [
+            np.tile([-width / 2, width / 2], rows),
+            np.repeat(ys, 2),
+            np.zeros(rows * 2, np.float32),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    tris = []
+    for r in range(segments):
+        a = 2 * r
+        tris += [[a, a + 1, a + 2], [a + 1, a + 3, a + 2]]
+    idx = np.array(tris, np.int32).reshape(-1)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (rows * 2, 1))
+    t = np.tile(np.array([[1, 0, 0, 1]], np.float32), (rows * 2, 1))
+    uv = np.stack(
+        [verts[:, 0] / width + 0.5, verts[:, 1] / height], axis=-1
+    ).astype(np.float32)
+    mesh = Mesh(verts, n, t, uv, idx)
+    mid = w.meshes.add(mesh)
+    # weights: joint0 below mid-height fading to joint1 above
+    h = np.repeat(ys, 2) / height
+    w1 = np.clip(2.0 * h - 1.0, 0.0, 1.0)
+    joints = np.zeros((rows * 2, 4), np.int32)
+    joints[:, 1] = 1
+    weights = np.zeros((rows * 2, 4), np.float32)
+    weights[:, 0] = 1.0 - w1
+    weights[:, 1] = w1
+    off = w.allocate_joints(2)
+    info = w.meshes.mesh_info[mid]
+    w.skins.append(
+        skin_mod.build_skin_data(
+            mesh, w.meshes.indices[mid], joints, weights,
+            base_tri=info["base_index"] // 3, mesh_id=mid,
+            joint_offset=off, n_joints=2,
+        )
+    )
+    return mid
+
+
+def clapper_joint_mats(t: float, n_arms: int = 2) -> np.ndarray:
+    """(4, 4, 4) joint matrices for two clapping arms: hinge rotation
+    oscillates the arms toward each other, elbows follow at 60%."""
+    out = []
+    for k in range(n_arms):
+        # first arm sits at -x and bends toward +x (Rz(-theta) tilts the
+        # +y axis toward +x), the second mirrors — they clap at center
+        sign = -1.0 if k == 0 else 1.0
+        theta = sign * 0.8 * (0.5 + 0.5 * np.sin(2.2 * t))
+        hinge = np.asarray(mathx.from_rotation_z(np.float32(theta)))
+        elbow_local = np.asarray(
+            mathx.from_translation([0, 1.2, 0])
+            @ mathx.from_rotation_z(np.float32(0.6 * theta))
+        )
+        elbow_world = hinge @ elbow_local
+        inv_bind = np.asarray(mathx.from_translation([0, -1.2, 0]))
+        out += [hinge, elbow_world @ inv_bind]
+    return np.stack(out).astype(np.float32)
+
+
 def config4_animated_taa(aspect: float) -> Preset:
-    """Animated instances with reprojection + TAA resolve."""
+    """Animated instances + SKINNED clapping arms with reprojection + TAA
+    resolve. BASELINE's 'animated skinned glTF (clapping)' brief: the
+    reference can only rotate instance transforms (it has no skinning);
+    here two 2-joint linear-blend-skinned arms clap via per-frame joint
+    matrices evaluated inside the frame jit — beyond reference parity."""
     w = World()
     sphere = w.meshes.add(mesh_mod.make_uv_sphere(1.0, 6))
     mat = w.materials.add()
@@ -161,9 +238,16 @@ def config4_animated_taa(aspect: float) -> Preset:
             @ mathx.from_rotation_x(np.float32(-np.pi / 3))
         ),
     )
+    # the clapping pair (strips face +z, toward the camera)
+    for x in (-1.2, 1.2):
+        mid = _add_clapper_arm(w)
+        w.instances.add(
+            np.asarray(mathx.from_translation([x, 0.0, -8.0])), mid, mat
+        )
     cam = Camera(position=[0, 3, 4], pitch=-14.0, aspect=aspect)
     return Preset(world=w, camera=cam, moving_ids=moving, enable_taa=True,
-                  tri_capacity=1 << 16, pair_capacity=1 << 18)
+                  tri_capacity=1 << 16, pair_capacity=1 << 18,
+                  animator=clapper_joint_mats)
 
 
 def config5_raytraced_shadows(aspect: float) -> Preset:

@@ -81,19 +81,29 @@ def render_frame(
     enable_post: bool = True,
     enable_rt_shadows: bool = False,
     mesh=None,
+    joint_mats=None,
 ):
     """Full frame. Returns (srgb_image, new_state, new_scene, aux).
 
     With `mesh` (a jax.sharding.Mesh over the 'rows' axis) the dense
     per-pixel stages are sharded over screen rows; XLA SPMD inserts the
-    halo collectives for the stencil passes.
+    halo collectives for the stencil passes. `joint_mats` ((J, 4, 4)
+    world-joint @ inverseBind, host-composed per frame) drives any
+    skinning regions in the scene.
     """
     from ..parallel import sharding as shard_mod
-    # 1. compute_update: animate moving instances on device.
+    # 1. compute_update: animate moving instances on device; vertex
+    # skinning re-computes the skinned pool ranges from joint matrices.
     instances = update_pass.compute_update(
         scene.instances, moving_ids, globals_.time, globals_.dt
     )
     scene = scene.replace(instances=instances)
+    if scene.skins and joint_mats is not None:
+        from ..scene.skin import apply_skins
+
+        scene = scene.replace(
+            meshes=apply_skins(scene.meshes, scene.skins, joint_mats)
+        )
 
     # 2. emit_draws: frustum cull + compaction.
     if enable_cull:
@@ -203,15 +213,21 @@ class Renderer:
             import importlib
 
             rf = importlib.import_module(__name__).render_frame
-            return partial(
-                rf,
-                config=self.config,
-                enable_cull=enable_cull,
-                enable_taa=enable_taa,
-                enable_post=enable_post,
-                enable_rt_shadows=enable_rt_shadows,
-                mesh=mesh,
-            )
+            cfg = self.config
+
+            def frame(scene_, camera_, globals__, state_, moving_, jm_):
+                return rf(
+                    scene_, camera_, globals__, state_, moving_,
+                    config=cfg,
+                    enable_cull=enable_cull,
+                    enable_taa=enable_taa,
+                    enable_post=enable_post,
+                    enable_rt_shadows=enable_rt_shadows,
+                    mesh=mesh,
+                    joint_mats=jm_,
+                )
+
+            return frame
 
         # scene and frame state are consumed and re-emitted every frame
         jit_kwargs = dict(donate_argnums=(0, 3))
@@ -225,7 +241,8 @@ class Renderer:
         else:
             self._fn = jax.jit(build(), **jit_kwargs)
 
-    def render(self, camera: Camera, dt: float = 1.0 / 60.0) -> jnp.ndarray:
+    def render(self, camera: Camera, dt: float = 1.0 / 60.0,
+               joint_mats=None) -> jnp.ndarray:
         if self.enable_taa:
             camera.jitter = self.jitter.get_jitter(
                 self.frame_count, self.config.width, self.config.height
@@ -239,8 +256,17 @@ class Renderer:
             time=self.time,
             dt=dt,
         )
+        if self.scene.skins:
+            if joint_mats is None:
+                raise ValueError(
+                    "scene has skinning regions: pass joint_mats "
+                    "(e.g. from io.gltf.GltfAnimator.joint_matrices)"
+                )
+            jm = jnp.asarray(joint_mats, jnp.float32)
+        else:
+            jm = jnp.zeros((0, 4, 4), jnp.float32)
         img, self.state, self.scene, self.aux = self._fn(
-            self.scene, uniform, globals_, self.state, self.moving_ids
+            self.scene, uniform, globals_, self.state, self.moving_ids, jm
         )
         self.frame_count += 1
         self.time += dt

@@ -178,6 +178,12 @@ class GltfDocument:
     mesh_ids: Dict[Tuple[int, int], int]  # (gltf mesh, primitive) -> pool mesh
     material_ids: List[int]  # gltf material index -> pool material
     path: str = ""
+    # (gltf mesh, primitive) -> (per-vertex joints (n,4) int, weights (n,4)
+    # f32 normalized) for primitives with JOINTS_0/WEIGHTS_0. The reference
+    # importer DROPS skins (gltf_model/mod.rs has no skin handling) — kept
+    # here so add_to_world can register device skinning data.
+    skinned: Dict[Tuple[int, int], tuple] = None
+    buffers: List[bytes] = None  # retained for animation sampling
 
     @classmethod
     def import_file(cls, world, path: str) -> "GltfDocument":
@@ -260,6 +266,7 @@ class GltfDocument:
 
         # --- meshes (make_meshes, mod.rs:103-155) ------------------------
         mesh_ids: Dict[Tuple[int, int], int] = {}
+        skinned: Dict[Tuple[int, int], tuple] = {}
         for mi, mesh in enumerate(doc.get("meshes", [])):
             for pi, prim in enumerate(mesh.get("primitives", [])):
                 attrs = prim.get("attributes", {})
@@ -295,7 +302,18 @@ class GltfDocument:
                 mesh_ids[(mi, pi)] = world.meshes.add(
                     Mesh(pos, nrm, tan, uv, idx)
                 )
-        return cls(doc=doc, mesh_ids=mesh_ids, material_ids=material_ids, path=path)
+                if "JOINTS_0" in attrs and "WEIGHTS_0" in attrs:
+                    jv = _accessor(doc, buffers, attrs["JOINTS_0"]).astype(
+                        np.int32
+                    )
+                    wv = _accessor(doc, buffers, attrs["WEIGHTS_0"])
+                    if wv.dtype == np.uint8:
+                        wv = wv.astype(np.float32) / 255.0
+                    elif wv.dtype == np.uint16:
+                        wv = wv.astype(np.float32) / 65535.0
+                    skinned[(mi, pi)] = (jv, wv.astype(np.float32))
+        return cls(doc=doc, mesh_ids=mesh_ids, material_ids=material_ids,
+                   path=path, skinned=skinned, buffers=buffers)
 
     def scene_instances(self, root_transform: Optional[np.ndarray] = None):
         """Flattened (transform, pool_mesh_id, pool_material_id) list for the
@@ -334,8 +352,172 @@ class GltfDocument:
         return out
 
     def add_to_world(self, world, root_transform=None) -> List[int]:
-        """Instantiate the default scene; returns instance ids."""
+        """Instantiate the default scene; returns instance ids. Nodes that
+        reference a skin also register device skinning data with the world
+        (beyond reference parity — the wgpu importer drops skins)."""
         ids = []
         for m, mesh_id, mat_id in self.scene_instances(root_transform):
             ids.append(world.instances.add(m, mesh_id, mat_id))
+        self.bind_skins(world)
         return ids
+
+    def bind_skins(self, world) -> List[int]:
+        """Register SkinData for every skinned node's primitives; returns
+        the gltf skin indices bound, in world-skin order (one entry per
+        skinned primitive). Use GltfAnimator.joint_matrices to drive them."""
+        if not self.skinned:
+            return []
+        from ..scene import skin as skin_mod
+
+        bound = []
+        scene = self.doc.get("scenes", [{}])[self.doc.get("scene", 0)]
+
+        def walk(node_idx):
+            node = self.doc["nodes"][node_idx]
+            if "mesh" in node and "skin" in node:
+                mi, si = node["mesh"], node["skin"]
+                n_joints = len(self.doc["skins"][si]["joints"])
+                for pi in range(len(self.doc["meshes"][mi].get("primitives", []))):
+                    key = (mi, pi)
+                    if key not in self.skinned or key not in self.mesh_ids:
+                        continue
+                    pool_id = self.mesh_ids[key]
+                    jv, wv = self.skinned[key]
+                    pool = world.meshes
+                    info = pool.mesh_info[pool_id]
+                    mesh_view = Mesh(
+                        pool.positions[pool_id],
+                        pool.normals[pool_id],
+                        pool.tangents[pool_id],
+                        pool.uvs[pool_id],
+                        pool.indices[pool_id],
+                    )
+                    offset = world.allocate_joints(n_joints)
+                    world.skins.append(
+                        skin_mod.build_skin_data(
+                            mesh_view,
+                            pool.indices[pool_id],
+                            jv,
+                            wv,
+                            base_tri=info["base_index"] // 3,
+                            mesh_id=pool_id,
+                            joint_offset=offset,
+                            n_joints=n_joints,
+                        )
+                    )
+                    bound.append(si)
+            for child in node.get("children", []):
+                walk(child)
+
+        for node_idx in scene.get("nodes", []):
+            walk(node_idx)
+        return bound
+
+
+class GltfAnimator:
+    """Host-side glTF animation sampling -> per-frame joint matrices.
+
+    Samples TRS channels (LINEAR / STEP; CUBICSPLINE uses its vertex
+    values with linear interpolation — documented approximation), composes
+    the node hierarchy, and returns world-joint @ inverseBind matrices in
+    the layout expected by scene skins (SURVEY has no reference analogue:
+    the wgpu renderer cannot animate skins at all)."""
+
+    def __init__(self, gdoc: GltfDocument, animation: int = 0):
+        self.doc = gdoc.doc
+        self.buffers = gdoc.buffers
+        anims = self.doc.get("animations", [])
+        self.channels: Dict[int, Dict[str, tuple]] = {}
+        self.duration = 0.0
+        if anims:
+            anim = anims[animation]
+            for ch in anim["channels"]:
+                tgt = ch["target"]
+                if "node" not in tgt:
+                    continue
+                s = anim["samplers"][ch["sampler"]]
+                times = _accessor(self.doc, self.buffers, s["input"]).astype(
+                    np.float32
+                )
+                vals = _accessor(self.doc, self.buffers, s["output"]).astype(
+                    np.float32
+                )
+                interp = s.get("interpolation", "LINEAR")
+                if interp == "CUBICSPLINE":
+                    vals = vals.reshape(len(times), 3, -1)[:, 1]
+                self.channels.setdefault(tgt["node"], {})[tgt["path"]] = (
+                    times,
+                    vals.reshape(len(times), -1),
+                    interp,
+                )
+                self.duration = max(self.duration, float(times[-1]))
+        self.parent: Dict[int, int] = {}
+        for i, node in enumerate(self.doc.get("nodes", [])):
+            for c in node.get("children", []):
+                self.parent[c] = i
+
+    def _sample_node(self, node_idx: int, t: float) -> np.ndarray:
+        node = self.doc["nodes"][node_idx]
+        over = {}
+        for path, (times, vals, interp) in self.channels.get(
+            node_idx, {}
+        ).items():
+            if interp == "STEP":
+                k = int(np.clip(np.searchsorted(times, t, "right") - 1, 0,
+                                len(times) - 1))
+                v = vals[k]
+            else:
+                v = np.array(
+                    [np.interp(t, times, vals[:, c]) for c in range(vals.shape[1])],
+                    np.float32,
+                )
+            if path == "rotation":
+                # shortest-path nlerp (glTF linear rotation semantics)
+                k = int(np.clip(np.searchsorted(times, t, "right") - 1, 0,
+                                len(times) - 2))
+                q0, q1 = vals[k], vals[min(k + 1, len(vals) - 1)]
+                if np.dot(q0, q1) < 0:
+                    q1 = -q1
+                tt = 0.0 if times[k + 1] == times[k] else float(
+                    np.clip((t - times[k]) / (times[k + 1] - times[k]), 0, 1)
+                )
+                v = q0 + (q1 - q0) * tt
+                v = v / max(np.linalg.norm(v), 1e-8)
+            over[path] = v
+        if not over:
+            return _node_matrix(node)
+        n2 = dict(node)
+        n2.pop("matrix", None)
+        for path in ("translation", "rotation", "scale"):
+            if path in over:
+                n2[path] = over[path].tolist()
+        return _node_matrix(n2)
+
+    def _world(self, node_idx: int, t: float, cache: dict) -> np.ndarray:
+        if node_idx in cache:
+            return cache[node_idx]
+        local = self._sample_node(node_idx, t)
+        p = self.parent.get(node_idx)
+        m = local if p is None else self._world(p, t, cache) @ local
+        cache[node_idx] = m
+        return m
+
+    def joint_matrices(self, skin_index: int, t: float,
+                       loop: bool = True) -> np.ndarray:
+        """(J, 4, 4) world-joint @ inverseBind for one gltf skin at time t."""
+        if loop and self.duration > 0:
+            t = float(t % self.duration)
+        skin = self.doc["skins"][skin_index]
+        joints = skin["joints"]
+        if "inverseBindMatrices" in skin:
+            ibm = _accessor(
+                self.doc, self.buffers, skin["inverseBindMatrices"]
+            ).astype(np.float32).reshape(-1, 4, 4)
+            ibm = np.ascontiguousarray(np.transpose(ibm, (0, 2, 1)))  # col-major
+        else:
+            ibm = np.tile(np.eye(4, dtype=np.float32), (len(joints), 1, 1))
+        cache: dict = {}
+        out = np.stack(
+            [self._world(j, t, cache) @ ibm[k] for k, j in enumerate(joints)]
+        )
+        return out.astype(np.float32)

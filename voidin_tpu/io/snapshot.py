@@ -18,6 +18,10 @@ from ..scene.scene import SceneData
 
 
 def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
+    # Skinning data is rebuilt from assets, not snapshotted (the leaf
+    # enumeration below predates skins and load_scene restores skins=()).
+    if scene.skins:
+        scene = scene.replace(skins=())
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     # static aux data needed to rebuild (texture pool statics)

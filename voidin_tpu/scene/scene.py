@@ -61,6 +61,10 @@ class SceneData:
     # material.rs:45 defaults / visibility.wgsl:83) — resolve skips the
     # per-pixel normal-texture fetch entirely.
     no_normal_maps: bool = struct.field(pytree_node=False, default=False)
+    # Vertex skinning regions (beyond reference parity — the wgpu importer
+    # drops glTF skins). Each SkinData re-computes its pool triangle range
+    # from per-frame joint matrices inside the frame jit.
+    skins: tuple = ()
 
 
 class World:
@@ -72,6 +76,19 @@ class World:
         self.materials = MaterialPool()
         self.lights = LightPool()
         self.textures = TexturePool(base_size=texture_base_size)
+        self.skins: list = []  # SkinData entries (scene/skin.py)
+        self._n_joints = 0
+
+    def allocate_joints(self, n: int) -> int:
+        """Reserve n rows in the frame's concatenated joint-matrix array;
+        returns the skin's offset."""
+        off = self._n_joints
+        self._n_joints += int(n)
+        return off
+
+    @property
+    def total_joints(self) -> int:
+        return self._n_joints
 
     def add_area_light(self, color, intensity, wh, transform):
         """Adds the light and an emissive quad instance (app.rs:220-236)."""
@@ -139,4 +156,5 @@ class World:
                 self.textures.is_const(t) for t in mats.metallic_roughness
             ),
             no_normal_maps=all(t == 0 for t in mats.normal),
+            skins=tuple(self.skins),
         )
