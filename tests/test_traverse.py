@@ -130,3 +130,38 @@ def test_pack_blas_rows_rejects_fat_leaves():
             jnp.zeros((2, 3)), jnp.zeros((2, 3)),
             jnp.zeros(2, jnp.int32), bad_count,
         )
+
+
+def test_occluded_chunked_matches_unchunked():
+    """chunk_size processing is a pure scheduling change: identical hits,
+    summed counters."""
+    import voidin_tpu as vt
+    from voidin_tpu.core import mathx
+    from voidin_tpu.rt import traverse as trav
+
+    w = vt.World()
+    knot = w.meshes.add(vt.mesh.make_torus_knot(segments=48, sides=8))
+    for i in range(4):
+        t = mathx.from_translation([2.0 * i - 3.0, 0, -6.0])
+        w.instances.add(np.asarray(t), knot, 0)
+    scene = w.device(with_tlas=True)
+    tlas, blas, inst, tri_pos = trav.scene_rays(scene)
+
+    rng = np.random.default_rng(3)
+    R = 1000
+    origins = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    origins[:, 2] = 2.0
+    dirs = np.tile([0, 0, -1.0], (R, 1)).astype(np.float32) * rng.uniform(
+        4, 12, (R, 1)
+    ).astype(np.float32)
+    active = rng.random(R) < 0.9
+
+    a = trav.occluded(tlas, blas, inst, tri_pos, jnp.asarray(origins),
+                      jnp.asarray(dirs), t_max=1.0, active=jnp.asarray(active))
+    b = trav.occluded(tlas, blas, inst, tri_pos, jnp.asarray(origins),
+                      jnp.asarray(dirs), t_max=1.0, active=jnp.asarray(active),
+                      chunk_size=256)  # 1000 -> 4 chunks with padding
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    assert int(a.overflow) == int(b.overflow)
+    assert int(a.exhausted) == int(b.exhausted)
+    assert bool(np.asarray(a.hit).any())

@@ -314,7 +314,8 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
 
 
 def shade_raytraced(
-    scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512
+    scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512,
+    ray_chunk=1 << 16,
 ) -> jnp.ndarray:
     """Deferred shading with TLAS-traced point-light shadows.
 
@@ -381,6 +382,7 @@ def shade_raytraced(
             t_max=1.0,
             max_steps=max_steps,
             active=shadable.reshape(-1),
+            chunk_size=ray_chunk,
         ).hit.reshape(H, W)
         occlusion = jnp.where(occ_hit, 0.5, 1.0)
 

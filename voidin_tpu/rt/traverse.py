@@ -142,12 +142,50 @@ def occluded(
     t_max=1.0,
     max_steps=512,
     active=None,
+    chunk_size=None,
 ):
     """Any-hit occlusion for R rays. Returns OcclusionResult.
 
     `active`: optional (R,) mask — inactive rays are skipped entirely
-    (their result is False)."""
+    (their result is False).
+
+    `chunk_size`: process rays in sequential chunks (lax.map). Lock-step
+    traversal runs until the SLOWEST lane finishes; chunking lets
+    fast-terminating regions (sky, unoccluded ground) exit early instead
+    of paying the global worst case — total steps become the sum of
+    per-chunk maxima rather than chunks x global max."""
     R = origins.shape[0]
+    if chunk_size is not None and R > chunk_size:
+        pad = (-R) % chunk_size
+        def padded(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+            ) if pad else x
+
+        o = padded(origins).reshape(-1, chunk_size, 3)
+        d = padded(directions).reshape(-1, chunk_size, 3)
+        tm = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32), (R,)
+        )
+        tm = padded(tm).reshape(-1, chunk_size)
+        act = (
+            jnp.ones((R,), bool) if active is None else active
+        )
+        act = padded(act).reshape(-1, chunk_size)  # pad rays inactive
+
+        def one(args):
+            oo, dd, tt, aa = args
+            return occluded(
+                tlas_rows, blas_rows, instance_rows, tri_pos,
+                oo, dd, t_max=tt, max_steps=max_steps, active=aa,
+            )
+
+        res = jax.lax.map(one, (o, d, tm, act))
+        return OcclusionResult(
+            hit=res.hit.reshape(-1)[:R],
+            overflow=jnp.sum(res.overflow),
+            exhausted=jnp.sum(res.exhausted),
+        )
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
     inv0 = 1.0 / jnp.where(jnp.abs(directions) > 1e-20, directions, 1e-20)
