@@ -130,3 +130,36 @@ def test_ltc_diffuse_matches_numeric_integration():
         assert abs(got - want) <= 0.04 * max(want, 0.05), (
             f"pos={pos} nor={nor}: ltc={got:.4f} numeric={want:.4f}"
         )
+
+
+def test_ltc_apply_texture_filtering():
+    """apply_texture parity port (ltc.wgsl:75-106, unused by the shipped
+    shaders): uv projection onto the quad plane is correct and the blur
+    grows away from the light plane."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import voidin_tpu as vt
+    from voidin_tpu.passes.shading import ltc_apply_texture
+
+    w = vt.World()
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    checker = ((xx // 8 + yy // 8) % 2 * 255).astype(np.uint8)
+    tid = w.textures.add(np.stack([checker] * 3, -1))
+    scene = w.device()
+
+    # cosine-space quad corners: unit square in z=1 plane; a point under
+    # the quad center projects to uv ~ (0.5, 0.5)
+    p1 = jnp.asarray([[-0.5, -0.5, 1.0]], jnp.float32)
+    p0 = jnp.asarray([[0.5, -0.5, 1.0]], jnp.float32)
+    p2 = jnp.asarray([[-0.5, 0.5, 1.0]], jnp.float32)
+    near = ltc_apply_texture(scene, jnp.asarray([tid]), p0, p1, p2)
+    assert np.isfinite(np.asarray(near)).all()
+    # a quad 10x farther (smaller on the cosine sphere) must blur more:
+    # its filtered color approaches the checker mean (0.5)
+    far = ltc_apply_texture(scene, jnp.asarray([tid]), p0 * 10, p1 * 10,
+                            p2 * 10)
+    mean = 0.5
+    assert abs(float(far[0, 0]) - mean) <= abs(float(near[0, 0]) - mean) + 0.25

@@ -173,6 +173,62 @@ def ltc_matrix(scene: SceneData, nor, view, roughness):
     return minv, t1, t2
 
 
+def ltc_apply_texture(scene: SceneData, tex_id, p0, p1, p2):
+    """Filtered light-texture lookup for textured area lights — port of
+    ltc.wgsl:75-106 apply_texture (present in the reference's LTC library
+    but called by no shipped shader; ported for library parity). p0/p1/p2:
+    three corners of the cosine-space quad per pixel (..., 3); returns a
+    (..., 3) filtered rgb. The blur width sigma grows with the projected
+    distance from the quad plane and with distance outside the unit square
+    (sdsquare), approximating the LTC-filtered light texture; the three
+    taps emulate textureSampleGrad's decreasing-footprint cascade."""
+    v1 = p0 - p1
+    v2 = p2 - p1
+    plane_orto = jnp.cross(v1, v2)
+    plane_area_sq = jnp.sum(plane_orto * plane_orto, axis=-1)
+    dist_x_area = jnp.sum(plane_orto * p1, axis=-1)
+    denom = jnp.where(jnp.abs(plane_area_sq) > 1e-20, plane_area_sq, 1e-20)
+    p = dist_x_area[..., None] * plane_orto / denom[..., None] - p1
+
+    dot_v1_v2 = jnp.sum(v1 * v2, axis=-1)
+    inv_dot_v1_v1 = 1.0 / jnp.maximum(jnp.sum(v1 * v1, axis=-1), 1e-20)
+    v2p = v2 - v1 * (dot_v1_v2 * inv_dot_v1_v1)[..., None]
+    uv_y = jnp.sum(v2p * p, axis=-1) / jnp.maximum(
+        jnp.sum(v2p * v2p, axis=-1), 1e-20
+    )
+    uv_x = (
+        jnp.sum(v1 * p, axis=-1) * inv_dot_v1_v1
+        - dot_v1_v2 * inv_dot_v1_v1 * uv_y
+    )
+    uv = jnp.stack([uv_x, uv_y], axis=-1)
+
+    # sdsquare: signed distance to the unit square (ltc.wgsl:65-69)
+    q = jnp.abs(uv - 0.5) - 0.5
+    sd = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(
+        jnp.maximum(q[..., 0], q[..., 1]), 0.0
+    )
+    sigma = jnp.abs(dist_x_area) / jnp.maximum(denom ** 0.75, 1e-20)
+    sigma = sigma + jnp.maximum(sd, 0.0)
+
+    def gaussian_kernel(x, s):
+        si = 1.0 / jnp.maximum(s, 1e-8)
+        return 0.39894 * jnp.exp(-0.5 * x * x * si * si) * si
+
+    y0 = gaussian_kernel(0.0, sigma)
+    xs = [gaussian_kernel(y0 * f, sigma) for f in (0.25, 0.5, 0.75)]
+
+    size = scene.textures.size[tex_id].astype(jnp.float32)
+    col = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+    for xk in xs:
+        # textureSampleGrad footprint 0.5 * xk in uv -> mip level
+        rho = 0.5 * xk * jnp.maximum(size[..., 0], size[..., 1])
+        lod = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-8)), 0.0, 16.0)
+        col = col + sample_trilinear(
+            scene.textures, tex_id, uv, lod
+        )[..., :3] * 0.333
+    return col
+
+
 def ltc_evaluate_rect(scene: SceneData, nor, view, pos, mminv, points, two_sided=False):
     """ltc.wgsl:108-158. points: (4, 3); pixel fields (..., 3)."""
     t1v = _normalize(view - nor * jnp.sum(view * nor, axis=-1, keepdims=True))
