@@ -94,3 +94,43 @@ def test_scene_snapshot_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert cam2.aspect == 1.5 and cam2.yaw == 10.0
     np.testing.assert_allclose(cam2.position, [1, 2, 3])
+
+
+def test_native_texture_packer_matches_numpy():
+    """C++ texel-quad packer vs the numpy oracle: exact at fine mip levels,
+    within a few u8 steps at the deepest mips (float accumulation order)."""
+    import os
+
+    import voidin_tpu.native as nat
+
+    if nat.load() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    import voidin_tpu as vt
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (48, 80, 4)).astype(np.uint8)
+
+    os.environ["VOIDIN_NATIVE"] = "0"
+    try:
+        w0 = vt.World(texture_base_size=128)
+        w0.textures.add(img)
+        tp0 = w0.textures.device()
+    finally:
+        os.environ["VOIDIN_NATIVE"] = "1"
+    w1 = vt.World(texture_base_size=128)
+    w1.textures.add(img)
+    tp1 = w1.textures.device()
+    a = np.asarray(tp0.quads).astype(np.int32)
+    b = np.asarray(tp1.quads).astype(np.int32)
+    assert np.abs(a - b).max() <= 3
+    # fine levels (0-3) must be exact
+    fine_end = tp0.level_offset[4] * len(w0.textures.images)
+    T = len(w0.textures.images)
+    total = tp0.total
+    av = a.reshape(T, total, 32)
+    bv = b.reshape(T, total, 32)
+    np.testing.assert_array_equal(
+        av[:, : tp0.level_offset[4]], bv[:, : tp0.level_offset[4]]
+    )

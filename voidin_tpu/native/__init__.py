@@ -18,7 +18,11 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "bvh_builder.cpp")
+_SRCS = [
+    os.path.join(_DIR, "bvh_builder.cpp"),
+    os.path.join(_DIR, "texture_packer.cpp"),
+]
+_SRC = _SRCS[0]  # back-compat alias
 _LIB = os.path.join(_DIR, "libvoidin_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -29,7 +33,8 @@ def _compile() -> bool:
     for cc in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+                [cc, "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS,
+                 "-o", _LIB],
                 check=True,
                 capture_output=True,
             )
@@ -50,8 +55,8 @@ def load() -> Optional[ctypes.CDLL]:
         # The .so is never shipped (gitignored): a fresh checkout always
         # compiles from source on first use; the mtime check only skips
         # recompiles of a local build.
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-            _SRC
+        if not os.path.exists(_LIB) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRCS
         ):
             if not _compile():
                 return None
@@ -74,8 +79,37 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.voidin_pack_texture.restype = ctypes.c_int32
+        lib.voidin_pack_texture.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
+
+
+def pack_texture(img: np.ndarray, base: int, total: int) -> Optional[np.ndarray]:
+    """Native texel-quad mip packer; None when the library is unavailable.
+
+    img: (h, w, 4) u8. Returns (total, 32) u8 rows matching the numpy
+    packer in scene/texture.py (exact at fine mip levels; the deepest mips
+    may differ by a few u8 steps from float accumulation order)."""
+    lib = load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.zeros((total, 32), np.uint8)
+    rc = lib.voidin_pack_texture(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.shape[0],
+        img.shape[1],
+        base,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
 
 
 def build_blas_native(vertices: np.ndarray, indices: np.ndarray):

@@ -219,10 +219,21 @@ class TexturePool:
         quads = np.zeros((T, total, 32), np.uint8)
         wh = np.zeros((T, 2), np.int32)
         max_lod = np.zeros(T, np.float32)
+        from ..native import pack_texture as native_pack
+
         for t, img in enumerate(self.images):
             h, w = img.shape[:2]
             wh[t] = (w, h)
             max_lod[t] = max(0, int(np.floor(np.log2(max(min(w, h), 1)))))
+            # Native packer (C++ twin, ~5x faster device() on big
+            # textures; texture upload is the reference's native-image-crate
+            # hot path). Numpy below is the oracle and fallback — exact at
+            # fine mips, deepest mips within a few u8 steps (accumulation
+            # order).
+            packed = native_pack(img, S, total)
+            if packed is not None:
+                quads[t] = packed
+                continue
             # full level chain first
             levels = [img.astype(np.float32)]
             while min(levels[-1].shape[0], levels[-1].shape[1]) > 1:
