@@ -159,7 +159,8 @@ def main():
             img = app.step()
     from voidin_tpu.io.image import save_png
 
-    img = app.step()
+    if args.record:  # the recording path consumed its frames inside run()
+        img = app.step()
     save_png(args.out, img)
     aux = app.renderer.aux
     print(

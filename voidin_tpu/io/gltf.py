@@ -471,8 +471,9 @@ class GltfAnimator:
                     [np.interp(t, times, vals[:, c]) for c in range(vals.shape[1])],
                     np.float32,
                 )
-            if path == "rotation":
-                # shortest-path nlerp (glTF linear rotation semantics)
+            if path == "rotation" and interp != "STEP":
+                # shortest-path nlerp (glTF linear rotation semantics);
+                # STEP rotations keep the held keyframe from above
                 k = int(np.clip(np.searchsorted(times, t, "right") - 1, 0,
                                 len(times) - 2))
                 q0, q1 = vals[k], vals[min(k + 1, len(vals) - 1)]

@@ -29,6 +29,10 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
     payload["aux_level_offset"] = np.asarray(tex.level_offset, np.int64)
     payload["aux_base_size"] = np.asarray([tex.base_size, tex.total], np.int64)
     payload["aux_has_tlas"] = np.asarray([scene.tlas is not None], bool)
+    payload["aux_flags"] = np.asarray(
+        [scene.alpha_masked, scene.emissive_const, scene.mr_const,
+         scene.no_normal_maps], bool
+    )
     if camera is not None:
         payload["cam"] = np.asarray(
             [*camera.position, camera.yaw, camera.pitch, camera.aspect], np.float32
@@ -94,6 +98,11 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
     ltc2_quads = next(it)
     ltc12_quads = next(it)
     tlas = take(TlasData) if has_tlas else None
+    flags = (
+        [bool(x) for x in data["aux_flags"]]
+        if "aux_flags" in data
+        else [False] * 4
+    )
 
     scene = SceneData(
         meshes=meshes,
@@ -107,6 +116,10 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
         ltc2_quads=ltc2_quads,
         ltc12_quads=ltc12_quads,
         tlas=tlas,
+        alpha_masked=flags[0],
+        emissive_const=flags[1],
+        mr_const=flags[2],
+        no_normal_maps=flags[3],
     )
     camera = None
     if "cam" in data:

@@ -50,6 +50,7 @@ F_E = 0  # 9 edge coefficients
 F_D = 9  # 3 depth coefficients
 F_ID = 12
 F_ANCHOR = 13  # anchor x, y
+F_ZMAX = 15  # max vertex z: clamps the affine depth (sliver guard)
 
 KREC_F = 32  # kernel-side quantity-major layout (4 x 8 rows)
 
@@ -76,6 +77,7 @@ def expand_records_kernel_layout(rec: jnp.ndarray) -> jnp.ndarray:
         )
     out = out.at[:, 24:27].set(rec[:, F_D : F_D + 3])
     out = out.at[:, 27].set(rec[:, F_ID])
+    out = out.at[:, 28].set(rec[:, F_ZMAX])
     return out
 
 
@@ -90,14 +92,14 @@ def _pixel_basis():
     return jnp.concatenate([px, py, one, zero], axis=0)
 
 
-def _id_basis():
-    """(8, TILE_PX) basis selecting row 3 (the id slot of the depth block)
-    in every lane — the id 'extraction' is a full-width matmul producing
-    the id broadcast across pixels. (An (8, 1) single-column dot would be
-    cheaper but MISCOMPILES on real TPUs: ids diverge from interpret mode
-    while full-width dots are exact — keep N = 128.)"""
+def _row_basis(row: int):
+    """(8, TILE_PX) basis selecting one row of the depth block in every
+    lane — 'extraction' as a full-width matmul producing the value
+    broadcast across pixels. (An (8, 1) single-column dot would be cheaper
+    but MISCOMPILES on real TPUs: values diverge from interpret mode while
+    full-width dots are exact — keep N = 128.)"""
     r = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_PX), 0)
-    return (r == 3).astype(jnp.float32)
+    return (r == row).astype(jnp.float32)
 
 
 def _dot(a, b):
@@ -123,7 +125,8 @@ def _kernel_pairs(
         depth_ref, id_ref, scratch, sems = rest
     step = pl.program_id(0)
     P = _pixel_basis()  # (8, 128)
-    Pid = _id_basis()  # (8, 1)
+    Pid = _row_basis(3)  # id slot
+    Pzm = _row_basis(4)  # zmax slot
     srow = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
     def dma(j, slot, chunk0, c):
@@ -174,10 +177,14 @@ def _kernel_pairs(
                 e2 = _dot(q(2), P)
                 d = _dot(q(3), P)
                 idt = _dot(q(3), Pid)  # (CHUNK, 128): id broadcast per lane
+                zmax = _dot(q(3), Pzm)
                 inside = (
                     (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & in_range
                 )
-                cand = jnp.where(inside, d, -1.0)
+                # clamp: precomputed 1/area2 loses the per-pixel form's
+                # convexity; a sliver's amplified depth must not steal
+                # pixels in front of its own true depth range
+                cand = jnp.where(inside, jnp.minimum(d, zmax), -1.0)
                 gmax = jnp.max(cand, axis=0, keepdims=True)  # (1, 128)
                 gid = jnp.max(
                     jnp.where(cand == gmax, idt, -1.0), axis=0,
@@ -306,7 +313,10 @@ def _kernel(counts_ref, rec_ref, depth_ref, id_ref, *, k_cap, tiles_per_step,
             e0 = fld(0) * px + fld(1) * py + fld(2)  # (8, 128)
             e1 = fld(3) * px + fld(4) * py + fld(5)
             e2 = fld(6) * px + fld(7) * py + fld(8)
-            depth = fld(F_D) * px + fld(F_D + 1) * py + fld(F_D + 2)
+            depth = jnp.minimum(
+                fld(F_D) * px + fld(F_D + 1) * py + fld(F_D + 2),
+                fld(F_ZMAX),  # sliver guard (see pack_raster)
+            )
             idf = fld(F_ID)
             in_count = (
                 base + jax.lax.broadcasted_iota(jnp.int32, (TRI_GROUP, 1), 0)

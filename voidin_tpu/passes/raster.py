@@ -12,16 +12,19 @@ visibility.wgsl) with a design built around measured TPU cost realities:
   (ops/fine_raster.py) with everything VMEM-resident.
 
 Pipeline:
-  1. setup: expand the compact draw stream into triangle work items
-     (scatter+cummax), fetch one 36 B de-indexed corner row + one 64 B
-     matrix row per triangle, transform, near-clip (Sutherland-Hodgman,
-     <=2 tris, extras into the capacity tail), emit one 64 B raster record
-     and one 64 B resolve record per work item.
-  2. binning: per-triangle tile bbox -> (tile, triangle) pair expansion
-     (scatter+cummax) -> sort by tile -> per-tile K-capped lists -> gather
-     raster records into (NT, 16, K) field-major blocks.
-  3. fine raster: Pallas kernel, 8x16-pixel tiles (= one 128-lane vector
-     row), 8 triangles per vector op, dynamic per-tile counts.
+  1. setup: expand the compact draw stream into triangle work items,
+     fetch one de-indexed corner row + one fat draw record per triangle,
+     transform, near-clip (Sutherland-Hodgman, <=2 tris, extras into the
+     capacity tail), then reduce each triangle to an AFFINE COEFFICIENT
+     record — (ax, ay, b) per edge + depth plane in a per-triangle anchor
+     frame — plus a 48 B resolve record.
+  2. binning: two-stream pairs (every triangle's first tile is a 1:1
+     slot; multi-tile extras expand at pair_capacity/4) -> sort by tile ->
+     gather records into tile order -> bake b coefficients to each pair's
+     tile origin.
+  3. fine raster: Pallas kernel (ops/fine_raster.py) — each 128-record
+     chunk vs a tile's 128 pixels is four MXU dot_generals; the reverse-Z
+     depth/id competition reduces over record sublanes.
 
 Depth semantics: reverse-Z max (Greater compare, pass/visibility.rs:127-133)
 with ndc.z affine in screen space.
@@ -322,6 +325,11 @@ def triangle_setup(
         ayd = jnp.sum(ay * zrot, axis=-1) * inv
         bd = jnp.sum(b * zrot, axis=-1) * inv
         dead = ~alivev
+        # zmax bounds the affine depth in the kernels: the precomputed
+        # 1/area2 in the depth coefficients loses the per-pixel form's
+        # convexity, so a near-degenerate sliver could otherwise win the
+        # reverse-Z competition with a catastrophically amplified depth.
+        zmax = jnp.max(zv, axis=-1)
         rec = jnp.concatenate(
             [
                 jnp.stack([ax[:, 0], ay[:, 0], b[:, 0],
@@ -331,7 +339,7 @@ def triangle_setup(
                 idf[:, None],
                 anchor_x[:, None],
                 anchor_y[:, None],
-                jnp.zeros((n, fr.RECORD_F - 15), jnp.float32),
+                zmax[:, None],
             ],
             axis=-1,
         )
@@ -542,7 +550,7 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
         # have counts_b == 0 there, so total_extra - placed covers them
         # too). f32 accumulation: exact while < 2^24, immune to i32 wrap.
         total_extra = jnp.sum(n_extra.astype(jnp.float32))
-        placed_b = jnp.minimum(jnp.sum(counts_b), EB)
+        placed_b = jnp.minimum(jnp.sum(counts_b.astype(jnp.float32)), EB)
         overflow = jnp.maximum(
             total_extra - placed_b.astype(jnp.float32), 0.0
         ).astype(jnp.int32)
@@ -625,7 +633,10 @@ def fine_raster_xla(records, counts, config: RasterConfig, track2: bool = False)
         e0 = fld(0) * px + fld(1) * py + fld(2)
         e1 = fld(3) * px + fld(4) * py + fld(5)
         e2 = fld(6) * px + fld(7) * py + fld(8)
-        depth = fld(fr.F_D) * px + fld(fr.F_D + 1) * py + fld(fr.F_D + 2)
+        depth = jnp.minimum(
+            fld(fr.F_D) * px + fld(fr.F_D + 1) * py + fld(fr.F_D + 2),
+            fld(fr.F_ZMAX),  # sliver guard (see pack_raster)
+        )
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (idf >= 0) & in_count
         cand = jnp.where(inside, depth, -1.0)
         gmax = jnp.max(cand, axis=1)  # (NT, PX)
