@@ -201,7 +201,11 @@ def _kernel_pairs(
                     return nbd, nbi
                 # Runner-up among DISTINCT triangles: within-chunk 2nd
                 # place (mask the argmax sublanes), then a sorted-pair
-                # merge with the running (best, second).
+                # merge with the running (best, second). Known limitation:
+                # an exact depth TIE between distinct triangles collapses
+                # (the equal-depth record is masked with the winner), so a
+                # coplanar duplicate exactly at the winner's depth is not
+                # tracked as the alpha-cutoff fallback.
                 c2 = jnp.where(cand == gmax, -1.0, cand)
                 g2 = jnp.max(c2, axis=0, keepdims=True)
                 g2id = jnp.max(
