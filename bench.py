@@ -18,7 +18,8 @@ import time
 import numpy as np
 
 
-def retry_transient(fn, attempts=3, label="bench"):
+def retry_transient(fn, attempts=5, label="bench",
+                    backoff=(5.0, 15.0, 30.0, 60.0)):
     """The axon TPU tunnel occasionally throws transient 'TPU backend error
     (Internal)' (CLAUDE.md) — retry the whole measurement instead of letting
     one flake produce a bad BENCH_rN capture."""
@@ -26,12 +27,78 @@ def retry_transient(fn, attempts=3, label="bench"):
         try:
             return fn()
         except Exception as e:  # jaxlib.xla_extension.XlaRuntimeError etc.
-            transient = "Internal" in str(e) or "UNAVAILABLE" in str(e)
+            msg = str(e)
+            transient = (
+                "Internal" in msg
+                or "UNAVAILABLE" in msg
+                or "Unavailable" in msg
+                or "DEADLINE" in msg
+            )
             if i + 1 == attempts or not transient:
                 raise
             print(f"# {label}: transient TPU error, retry {i + 1}: "
-                  f"{str(e)[:120]}", file=sys.stderr)
-            time.sleep(2.0)
+                  f"{msg[:120]}", file=sys.stderr)
+            time.sleep(backoff[min(i, len(backoff) - 1)])
+
+
+def _probe_tpu_subprocess(timeout_s):
+    """Probe TPU availability in a THROWAWAY subprocess with a hard timeout.
+
+    Backend init through the axon tunnel has two observed failure modes:
+    a fast `UNAVAILABLE` error (which killed BENCH_r02 — VERDICT.md Weak #1)
+    and an indefinite HANG. An in-process retry loop handles neither safely
+    (a hang never returns control; a failed init can be cached). A
+    subprocess gives both a hard timeout and a clean slate per attempt.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BACKEND=' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"probe timed out after {timeout_s:.0f}s"
+    out = (r.stdout or "") + (r.stderr or "")
+    for line in (r.stdout or "").splitlines():
+        if line.startswith("BACKEND="):
+            return line.split("=", 1)[1], None
+    return None, out.strip().splitlines()[-1][:160] if out.strip() else "no output"
+
+
+def acquire_backend(total_budget_s=900.0):
+    """Initialize the JAX backend with patience measured in MINUTES.
+
+    Probes in subprocesses (hard per-attempt timeout) with growing backoff
+    until the tunnel answers, then initializes in-process while the tunnel
+    is warm. After the budget, pins the CPU backend (never having touched
+    axon in-process, so the pin is clean) and lets the caller record an
+    honest degraded measurement instead of a traceback.
+    """
+    import jax
+
+    t0 = time.monotonic()
+    delay, probe_timeout = 5.0, 120.0
+    attempt = 0
+    while time.monotonic() - t0 < total_budget_s:
+        attempt += 1
+        backend, err = _probe_tpu_subprocess(probe_timeout)
+        if backend is not None:
+            print(f"# backend probe ok: {backend} (attempt {attempt}, "
+                  f"{time.monotonic() - t0:.0f}s)", file=sys.stderr)
+            return jax.default_backend()
+        print(f"# backend probe failed (attempt {attempt}, "
+              f"{time.monotonic() - t0:.0f}s): {err}", file=sys.stderr)
+        remaining = total_budget_s - (time.monotonic() - t0)
+        if remaining < probe_timeout / 2:
+            break
+        time.sleep(min(delay, max(0.0, remaining - probe_timeout)))
+        delay = min(delay * 1.7, 90.0)
+    print(f"# backend unavailable after {time.monotonic() - t0:.0f}s — "
+          f"falling back to CPU", file=sys.stderr)
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
 
 
 def build_world(n_instances=10_000, seed=0):
@@ -117,7 +184,20 @@ def run_preset(n, profile=False):
     from voidin_tpu.framework.renderer import Renderer
     from voidin_tpu.passes.raster import RasterConfig
 
-    backend = jax.default_backend()
+    backend = acquire_backend()
+    if backend == "cpu-fallback":
+        print(
+            json.dumps(
+                {
+                    "metric": f"ms/frame 1080p BASELINE config {n}",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                    "error": "TPU backend unavailable after 900s of probing",
+                }
+            )
+        )
+        return
     p = PRESETS[n](1920 / 1080)
     cfg = RasterConfig(
         width=1920,
@@ -188,7 +268,24 @@ def main():
     if args.config:
         return run_preset(args.config)
 
-    backend = jax.default_backend()
+    backend = acquire_backend()
+    if backend == "cpu-fallback":
+        # TPU never answered within the budget. A 1080p interpret-mode CPU
+        # measurement is meaningless for the TPU metric and could outlive
+        # the driver's own timeout — emit an explicit error record instead.
+        print(
+            json.dumps(
+                {
+                    "metric": "ms/frame 1080p 10k-instance culled scene "
+                    "(cull+raster+shade+TAA)",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                    "error": "TPU backend unavailable after 900s of probing",
+                }
+            )
+        )
+        return
     world, moving = build_world()
     cfg = RasterConfig(
         width=1920,
@@ -242,4 +339,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the driver contract is ONE
+        # JSON line no matter what; a traceback-only exit loses the round's
+        # official number (this killed BENCH_r02).
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "ms/frame 1080p 10k-instance culled scene "
+                    "(cull+raster+shade+TAA)",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {str(e)[:200]}",
+                }
+            )
+        )
+        sys.exit(1)

@@ -159,7 +159,8 @@ def main():
             img = app.step()
     from voidin_tpu.io.image import save_png
 
-    if args.record:  # the recording path consumed its frames inside run()
+    if args.record or img is None:  # record consumed its frames inside
+        # run(); --frames 0 without --record never stepped at all
         img = app.step()
     save_png(args.out, img)
     aux = app.renderer.aux

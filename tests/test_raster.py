@@ -153,6 +153,31 @@ def test_fine_raster_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
 
 
+def test_sort_payload_matches_default_path():
+    """sort_payload=True (payload rides the sort) must produce the same
+    frame as the default sort-then-gather path. Guards the round-2 advisor
+    finding: sorting only 15 of 16 fields zeroed F_ZMAX, whose sliver
+    guard then clamped every depth to 0 — a completely blank frame."""
+    import dataclasses
+
+    w = _scene()
+    scene = w.device()
+    cam = _camera(CFG.width / CFG.height)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+
+    vis_def = raster.rasterize(scene.meshes, scene.instances, draws, cam, CFG)
+    cfg_sp = dataclasses.replace(CFG, sort_payload=True)
+    vis_sp = raster.rasterize(scene.meshes, scene.instances, draws, cam, cfg_sp)
+
+    assert (np.asarray(vis_sp.tri_id) >= 0).sum() > 500  # not blank
+    np.testing.assert_array_equal(
+        np.asarray(vis_sp.depth), np.asarray(vis_def.depth)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_sp.tri_id), np.asarray(vis_def.tri_id)
+    )
+
+
 def _alpha_scene():
     """Masked cutout quad in front of a solid backdrop, plus a
     base_color.w=0.2 'ghost' quad in front of both that must vanish.

@@ -215,6 +215,42 @@ def test_skinned_render_end_to_end():
     assert np.abs(img1 - img0).max() > 0.05
 
 
+def test_skinned_node_transform_ignored():
+    """glTF 2.0: the skinned mesh node's (and its ancestors') transform MUST
+    be ignored — joint matrices alone place the mesh, so the instance
+    transform for a skinned primitive is root only. Guards the round-2
+    advisor finding (double transform under a translated parent)."""
+    from voidin_tpu.io.gltf import GltfDocument
+
+    doc = {
+        "scenes": [{"nodes": [0, 3]}],
+        "scene": 0,
+        "nodes": [
+            {"translation": [5, 0, 0], "children": [1]},  # translated parent
+            {"mesh": 0, "skin": 0, "translation": [0, 2, 0]},  # skinned
+            {},                                            # joint
+            {"mesh": 1, "translation": [1, 0, 0]},         # plain mesh node
+        ],
+        "meshes": [{"primitives": [{"attributes": {}}]},
+                   {"primitives": [{"attributes": {}}]}],
+        "skins": [{"joints": [2]}],
+    }
+    jv = np.zeros((3, 4), np.int32)
+    wv = np.zeros((3, 4), np.float32)
+    wv[:, 0] = 1.0
+    gdoc = GltfDocument(
+        doc=doc, mesh_ids={(0, 0): 10, (1, 0): 11}, material_ids=[],
+        skinned={(0, 0): (jv, wv)}, buffers=[],
+    )
+    root = np.asarray(mathx.from_translation([0, 0, -3]), np.float32)
+    inst = {mesh_id: m for m, mesh_id, _ in gdoc.scene_instances(root)}
+    # skinned primitive: root ONLY (hierarchy ignored per spec)
+    np.testing.assert_allclose(inst[10], root, atol=1e-6)
+    # plain node: full hierarchy transform
+    want = root @ np.asarray(mathx.from_translation([1, 0, 0]), np.float32)
+    np.testing.assert_allclose(inst[11], want, atol=1e-6)
+
+
 def test_config4_preset_clapper_renders():
     """The config-4 preset's skinned clapping arms render through the full
     pipeline, and the clap animation actually moves them."""

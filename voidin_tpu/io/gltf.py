@@ -331,6 +331,11 @@ class GltfDocument:
             m = parent @ _node_matrix(node)
             if "mesh" in node:
                 mi = node["mesh"]
+                # glTF 2.0: "Only the joint transforms are applied to the
+                # skinned mesh; the transform of the skinned mesh node MUST
+                # be ignored." joint_matrices are in scene-root frame, so a
+                # skinned primitive's instance transform is root ONLY —
+                # using the node hierarchy here would double-transform.
                 for pi, prim in enumerate(
                     self.doc["meshes"][mi].get("primitives", [])
                 ):
@@ -343,7 +348,12 @@ class GltfDocument:
                         if mat is not None and mat < len(self.material_ids)
                         else 0
                     )
-                    out.append((m.copy(), self.mesh_ids[key], mat_id))
+                    use_m = (
+                        root
+                        if "skin" in node and key in (self.skinned or {})
+                        else m
+                    )
+                    out.append((use_m.copy(), self.mesh_ids[key], mat_id))
             for child in node.get("children", []):
                 walk(child, m)
 

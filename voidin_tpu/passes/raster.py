@@ -570,19 +570,18 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
         tile = jnp.where(pair_valid, tile, NT)
 
     if config.sort_payload:
-        # Sort the 15 live record fields ALONG with the tile key instead
+        # Sort all RECORD_F record fields ALONG with the tile key instead
         # of gathering records afterwards (kept as an option; measured
-        # slower than the 64 B gather on the north-star scene).
+        # slower than the 64 B gather on the north-star scene). All 16
+        # fields must ride the sort: dropping F_ZMAX zeroes the sliver
+        # guard, which clamps depth to min(d, 0) and blanks the frame.
         rec_pairs = setup["raster_rec"][tri]  # monotonic gather, (E, 16)
         ops = jax.lax.sort(
-            (tile,) + tuple(rec_pairs[:, f] for f in range(15)),
+            (tile,) + tuple(rec_pairs[:, f] for f in range(fr.RECORD_F)),
             num_keys=1,
         )
         tile_sorted = ops[0]
-        rec_sorted = jnp.stack(
-            list(ops[1:]) + [jnp.zeros_like(ops[1])] * (fr.RECORD_F - 15),
-            axis=-1,
-        )
+        rec_sorted = jnp.stack(list(ops[1:]), axis=-1)
     else:
         tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, tri)
         rec_sorted = setup["raster_rec"][tri_sorted]  # (E, 16), tile order
