@@ -46,12 +46,12 @@ def main():
                     aspect=args.width / args.height).uniform()
     draws = cull.emit_draws(scene.meshes, scene.instances, cam)
     vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, cfg)
-    gb, alb = resolve.resolve_gbuffer(scene, vis, cam, cfg)
+    gb, aux = resolve.resolve_gbuffer(scene, vis, cam, cfg)
     hdr = shading.shade_ring_light(
         scene, gb, cam,
         ring_center=[0, 4.0, -6.0], ring_normal=[0, 1.0, -0.2],
         r_outer=2.5, r_inner=1.8, color=(1.0, 0.85, 0.6), intensity=6.0,
-        albedo=alb,
+        albedo=aux.albedo,
     )
     from voidin_tpu.passes.postprocess import postprocess
     from voidin_tpu.scene.texture import linear_to_srgb

@@ -55,9 +55,9 @@ def main():
             materials=scene.materials,
         )
         vis = bar(vis)
-        gb, albedo = resolve.resolve_gbuffer(scene, vis, camera, cfg)
-        gb, albedo = bar((gb, albedo))
-        hdr = shading.shade(scene, gb, camera, albedo=albedo)
+        gb, aux = resolve.resolve_gbuffer(scene, vis, camera, cfg)
+        gb, aux = bar((gb, aux))
+        hdr = shading.shade(scene, gb, camera, aux=aux)
         hdr = bar(hdr)
         hdr, _st = taa_m.taa(hdr, gb, camera, state)
         out = linear_to_srgb(pp.postprocess(hdr))

@@ -91,11 +91,12 @@ def main():
             )
             if stage == "raster":
                 return vis.depth.sum() + vis.tri_id.sum()
-            gb, albedo = resolve_pass.resolve_gbuffer(scene, vis, camera, cfg)
+            gb, aux = resolve_pass.resolve_gbuffer(scene, vis, camera, cfg)
             if stage == "resolve":
                 return (gb.depth.sum() + gb.material.sum()
-                        + gb.normal_uv.sum() + albedo.sum())
-            hdr = shading_pass.shade(scene, gb, camera, albedo=albedo)
+                        + gb.normal_uv.sum() + aux.albedo.sum()
+                        + aux.emissive.sum() + aux.mr.sum())
+            hdr = shading_pass.shade(scene, gb, camera, aux=aux)
             if stage == "shade":
                 return hdr.sum()
             hdr2, _st = taa_pass.taa(hdr, gb, camera, state)

@@ -48,7 +48,7 @@ def main():
     vis = jax.jit(
         lambda s, c, d: raster.rasterize(s.meshes, s.instances, d, c, cfg)
     )(scene, cam, draws)
-    gb, albedo = jax.jit(
+    gb, aux = jax.jit(
         lambda s, v, c: resolve.resolve_gbuffer(s, v, c, cfg)
     )(scene, vis, cam)
 
@@ -73,7 +73,7 @@ def main():
         try:
             fn = jax.jit(
                 lambda e: shading.shade(
-                    scene, gb.replace(depth=gb.depth + e), cam, albedo=albedo
+                    scene, gb.replace(depth=gb.depth + e), cam, aux=aux
                 )
             )
             ms = slope_time(lambda e: fn(e))

@@ -127,7 +127,7 @@ def profile_frame(scene, camera, config, state=None, moving_ids=None) -> List[Tu
             ),
         )
     )
-    gb, albedo = jax.jit(
+    gb, aux = jax.jit(
         lambda s, v, c: resolve.resolve_gbuffer(s, v, c, config)
     )(scene, vis, camera)
     rows.append(
@@ -135,7 +135,7 @@ def profile_frame(scene, camera, config, state=None, moving_ids=None) -> List[Tu
             "deferred shade (LTC)",
             time_fn(
                 lambda e: shading.shade(
-                    scene, gb.replace(depth=gb.depth + e), camera, albedo=albedo
+                    scene, gb.replace(depth=gb.depth + e), camera, aux=aux
                 )
             ),
         )

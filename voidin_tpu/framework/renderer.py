@@ -128,7 +128,7 @@ def render_frame(
             depth2=None if vis.depth2 is None
             else shard_mod.shard_rows(mesh, vis.depth2),
         )
-    gbuffer, albedo = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
+    gbuffer, aux_r = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
     if mesh is not None:
         gbuffer = gbuffer.replace(
             normal_uv=shard_mod.shard_rows(mesh, gbuffer.normal_uv),
@@ -138,9 +138,9 @@ def render_frame(
 
     # 4. deferred shading (HDR); optionally with TLAS-traced shadows.
     if enable_rt_shadows:
-        hdr = shading_pass.shade_raytraced(scene, gbuffer, camera, albedo=albedo)
+        hdr = shading_pass.shade_raytraced(scene, gbuffer, camera, aux=aux_r)
     else:
-        hdr = shading_pass.shade(scene, gbuffer, camera, albedo=albedo)
+        hdr = shading_pass.shade(scene, gbuffer, camera, aux=aux_r)
     if mesh is not None:
         hdr = shard_mod.shard_rows(mesh, hdr)
 

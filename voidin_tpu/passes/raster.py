@@ -71,6 +71,12 @@ class RasterConfig:
     # Two-stream pair binning (first tile 1:1, extras via compacted
     # expansion at pair_capacity/4) vs single-stream general expansion.
     two_stream_bin: bool = True
+    # Alpha-mask fallback strategy: resolve runner-up candidates lazily on
+    # a compacted list of cut pixels (capacity alpha_fallback_capacity;
+    # 0 = height*width//16) instead of re-resolving every pixel densely.
+    # Cuts the masked-scene resolve cost from 2x to ~1.2x.
+    lazy_alpha_resolve: bool = True
+    alpha_fallback_capacity: int = 0
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W

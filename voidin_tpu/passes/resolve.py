@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..core import encoding, fastmath
 from ..scene.scene import SceneData
@@ -35,32 +36,49 @@ from .gbuffer import GBuffer, VisBuffer
 from .shading import uv_lod
 
 
+@struct.dataclass
+class ResolveAux:
+    """Per-pixel material fields the shading pass consumes, produced here so
+    shading issues ZERO per-pixel gathers: the material row rides the fused
+    instance record this pass gathers anyway (one 96 B row from a small
+    table), and emissive/metallic-roughness are const-folded or sampled at
+    the same quantized uv/lod the reference's shading FS would use
+    (shading.wgsl:58-64 samples via the G-buffer's packed uv)."""
+
+    albedo: jnp.ndarray  # (H, W, 4) filtered albedo (shading.wgsl:58)
+    emissive: jnp.ndarray  # (H, W, 3)
+    mr: jnp.ndarray  # (H, W, 4) metallic-roughness texel
+
+
 def _normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
 
 
-def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config) -> GBuffer:
+def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
     """Resolve the winning candidate; with second-candidate tracking
     (RasterConfig.alpha_mask), pixels whose winner is alpha-cut fall back to
     the runner-up — reproducing visibility.wgsl:79-81 `discard`, where a cut
     fragment never writes depth and the triangle BEHIND it stays visible.
     One level of fallback: a cutout behind a cutout (both cut at the same
     pixel) resolves to background; deeper stacking would need k > 2
-    candidates."""
+    candidates. Returns (GBuffer, ResolveAux)."""
     if vis.tri_id2 is not None:
-        _, _, cut1 = _resolve_once(scene, vis, vis.tri_id, vis.depth, camera)
+        _, _, cut1 = _resolve_once(
+            scene, vis, vis.tri_id, vis.depth, camera, want_aux=False
+        )
         fall = (vis.tri_id >= 0) & cut1
         tid = jnp.where(fall, vis.tri_id2, vis.tri_id)
         dep = jnp.where(fall, vis.depth2, vis.depth)
-        gbuffer, albedo, _ = _resolve_once(scene, vis, tid, dep, camera)
-        return gbuffer, albedo
-    gbuffer, albedo, _ = _resolve_once(
+        gbuffer, aux, _ = _resolve_once(scene, vis, tid, dep, camera)
+        return gbuffer, aux
+    gbuffer, aux, _ = _resolve_once(
         scene, vis, vis.tri_id, vis.depth, camera
     )
-    return gbuffer, albedo
+    return gbuffer, aux
 
 
-def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera):
+def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera,
+                  want_aux: bool = True):
     H, W = depth.shape
     tid = jnp.maximum(tri_id, 0)
     hit = tri_id >= 0
@@ -97,12 +115,16 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera):
     tangent_w = jnp.sum(t_sign * lam_p, axis=-1)
     uv = jnp.sum(uv_c * lam_p[..., None], axis=-2)
 
-    # Gather 3: per-instance record (transform basis + material fields),
-    # built densely from the live pools each frame — folding the material
-    # row into the instance row saves a whole per-pixel gather.
+    # Gather 3: ONE fused per-instance record (transform basis + the FULL
+    # material row), built densely from the live pools each frame. Folding
+    # every material field the frame needs into the instance row makes this
+    # the frame's only material fetch: the shading pass then runs with zero
+    # per-pixel gathers. 24 f32 = 96 B rows from a small (N-instance) table
+    # stay in the flat-cost gather regime (tools/microbench_gather.py).
     n_inst = scene.instances.count
     mats = scene.materials
     mid = scene.instances.material_id  # (N,)
+    albedo_sz = scene.textures.size[mats.albedo[mid]].astype(jnp.float32)
     inst_rec = jnp.concatenate(
         [
             scene.instances.transform[:, :3, :3].reshape(n_inst, 9),
@@ -110,11 +132,15 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera):
             mats.albedo[mid].astype(jnp.float32)[:, None],
             mats.normal[mid].astype(jnp.float32)[:, None],
             mats.base_color[mid, 3][:, None],
-            jnp.zeros((n_inst, 3), jnp.float32),
+            mats.emissive[mid].astype(jnp.float32)[:, None],
+            mats.metallic_roughness[mid].astype(jnp.float32)[:, None],
+            albedo_sz,  # (N, 2) albedo texture extent (lod)
+            mats.emissive_rgba[mid, :3],  # const-folded 1x1 emissive
+            mats.mr_rgba[mid],  # const-folded 1x1 metallic-roughness
         ],
         axis=-1,
-    )  # (N, 16)
-    irec = inst_rec[inst]  # (H, W, 16)
+    )  # (N, 24)
+    irec = inst_rec[inst]  # (H, W, 24)
     basis = irec[..., :9].reshape(H, W, 3, 3)
     material_id = irec[..., 9].astype(jnp.int32)
     mat_albedo = irec[..., 10].astype(jnp.int32)
@@ -126,9 +152,10 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera):
     t_ws = fastmath.mat3_vec(basis, tangent_raw)
     b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
 
-    # Mip LOD from screen-space uv derivatives.
-    tex_w = scene.textures.size[mat_albedo][..., 0].astype(jnp.float32)
-    tex_h = scene.textures.size[mat_albedo][..., 1].astype(jnp.float32)
+    # Mip LOD from screen-space uv derivatives (texture extent rides the
+    # fused instance record — no per-pixel size gather).
+    tex_w = irec[..., 15]
+    tex_h = irec[..., 16]
     lod = uv_lod(uv, tex_w, tex_h)
 
     albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
@@ -167,9 +194,47 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera):
         material=jnp.where(keep, material_id, 0).astype(jnp.int32),
         depth=jnp.where(keep, depth, 0.0),
     )
-    # The shading pass samples the albedo at the same uv/lod
-    # (shading.wgsl:58); hand it over instead of re-gathering. Background /
-    # cut pixels revert to the material-0 WHITE lookup the reference would
-    # produce from its cleared G-buffer.
+    if not want_aux:
+        return gbuffer, None, cut
+
+    # Shading-pass material fields, computed here so shade() issues no
+    # gathers. Semantics match what shade() previously derived from the
+    # G-buffer exactly:
+    # * albedo: sampled above at the exact uv/lod (shading.wgsl:58);
+    #   background / cut pixels revert to the material-0 WHITE lookup the
+    #   reference would produce from its cleared G-buffer.
+    # * emissive / metallic-roughness: const-folded from the fused record
+    #   when every such texture is 1x1; otherwise sampled at the QUANTIZED
+    #   uv + its lod — the reference shading FS reads uv back from the
+    #   packed G-buffer (pack2x16float roundtrip), so we reproduce that
+    #   quantization rather than use the exact uv.
     aux_albedo = jnp.where(keep[..., None], albedo, jnp.ones_like(albedo))
-    return gbuffer, aux_albedo, cut
+    mat_emissive = irec[..., 13].astype(jnp.int32)
+    mat_mr = irec[..., 14].astype(jnp.int32)
+    if scene.emissive_const:
+        emissive = jnp.where(
+            keep[..., None], irec[..., 17:20],
+            mats.emissive_rgba[0, :3],
+        )
+    else:
+        uv_s = encoding.unpack2x16float(normal_uv[..., 1])  # 0 off-keep
+        lod_s = uv_lod(uv_s, jnp.where(keep, tex_w, 1.0),
+                       jnp.where(keep, tex_h, 1.0))
+        emissive = sample_trilinear(
+            scene.textures,
+            jnp.where(keep, mat_emissive, mats.emissive[0]),
+            uv_s, lod_s,
+        )[..., :3]
+    if scene.mr_const:
+        mr = jnp.where(keep[..., None], irec[..., 20:24], mats.mr_rgba[0])
+    else:
+        uv_s = encoding.unpack2x16float(normal_uv[..., 1])
+        lod_s = uv_lod(uv_s, jnp.where(keep, tex_w, 1.0),
+                       jnp.where(keep, tex_h, 1.0))
+        mr = sample_trilinear(
+            scene.textures,
+            jnp.where(keep, mat_mr, mats.metallic_roughness[0]),
+            uv_s, lod_s,
+        )
+    aux = ResolveAux(albedo=aux_albedo, emissive=emissive, mr=mr)
+    return gbuffer, aux, cut

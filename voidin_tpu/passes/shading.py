@@ -266,20 +266,15 @@ def ltc_evaluate_rect(scene: SceneData, nor, view, pos, mminv, points, two_sided
     return total  # (...,) scalar irradiance (vec3 splat in WGSL)
 
 
-def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarray:
-    """G-buffer -> (H, W, 3) HDR color.
-
-    `albedo`: optional pre-filtered albedo from the resolve pass (the same
-    value the reference re-samples in its shading FS, shading.wgsl:58).
-    """
-    depth = gbuffer.depth
+def _material_fields(scene: SceneData, gbuffer: GBuffer, albedo=None):
+    """Fallback material fetch for shade()/shade_raytraced() called WITHOUT
+    a ResolveAux (standalone demos): one packed material-row gather for ids
+    + albedo texture extent + the constant-folded 1x1 texture values (the
+    K-sized record build is dense and cheap; gathers cost by ROW, width is
+    nearly free). The production frame gets these fields from the resolve
+    pass instead (passes/resolve.py ResolveAux) — zero gathers here."""
     material_id = gbuffer.material
     uv = encoding.unpack2x16float(gbuffer.normal_uv[..., 1])
-    nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
-
-    # One packed material-row gather for ids + albedo texture extent + the
-    # constant-folded 1x1 texture values (the K-sized record build is dense
-    # and cheap; gathers cost by ROW, width is nearly free).
     mats = scene.materials
     sizes = scene.textures.size[mats.albedo].astype(jnp.float32)  # (K, 2)
     shade_rec = jnp.concatenate(
@@ -298,9 +293,7 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
     mat_albedo = srec[..., 0].astype(jnp.int32)
     mat_emissive = srec[..., 1].astype(jnp.int32)
     mat_mr = srec[..., 2].astype(jnp.int32)
-    tex_w = srec[..., 3]
-    tex_h = srec[..., 4]
-    lod = uv_lod(uv, tex_w, tex_h)
+    lod = uv_lod(uv, srec[..., 3], srec[..., 4])
     # NOTE: the reference samples the albedo texture only — material
     # base_color does NOT factor into shading (shading.wgsl:58, it is used
     # solely for the alpha cutoff in the raster pass). Parity kept.
@@ -318,6 +311,26 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
         mr = srec[..., 8:12]
     else:
         mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
+    return albedo, emissive, mr
+
+
+def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None,
+          aux=None) -> jnp.ndarray:
+    """G-buffer -> (H, W, 3) HDR color.
+
+    `aux`: the ResolveAux from the resolve pass (albedo + emissive + mr per
+    pixel) — the production path; this function then runs gather-free.
+    `albedo`: optional pre-filtered albedo alone (shading.wgsl:58) when no
+    aux is available.
+    """
+    depth = gbuffer.depth
+    material_id = gbuffer.material
+    nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
+
+    if aux is not None:
+        albedo, emissive, mr = aux.albedo, aux.emissive, aux.mr
+    else:
+        albedo, emissive, mr = _material_fields(scene, gbuffer, albedo)
 
     pos = world_position_from_depth(depth, camera.clip_to_world)
     cam_pos = jnp.asarray(camera.position)[:3]
@@ -371,7 +384,7 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None) -> jnp.ndarra
 
 def shade_raytraced(
     scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512,
-    ray_chunk=1 << 16,
+    ray_chunk=1 << 16, aux=None,
 ) -> jnp.ndarray:
     """Deferred shading with TLAS-traced point-light shadows.
 
@@ -385,28 +398,13 @@ def shade_raytraced(
 
     depth = gbuffer.depth
     material_id = gbuffer.material
-    uv = encoding.unpack2x16float(gbuffer.normal_uv[..., 1])
     nor = encoding.decode_octahedral_32(gbuffer.normal_uv[..., 0])
     H, W = depth.shape
 
-    mats = scene.materials
-    mat_albedo = mats.albedo[material_id]
-    mat_emissive = mats.emissive[material_id]
-    mat_mr = mats.metallic_roughness[material_id]
-    sizes = scene.textures.size[mat_albedo].astype(jnp.float32)
-    lod = uv_lod(uv, sizes[..., 0], sizes[..., 1])
-    if albedo is None:
-        albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
-    if scene.emissive_const:
-        emissive = mats.emissive_rgba[material_id][..., :3]
+    if aux is not None:
+        albedo, emissive, mr = aux.albedo, aux.emissive, aux.mr
     else:
-        emissive = sample_trilinear(
-            scene.textures, mat_emissive, uv, lod
-        )[..., :3]
-    if scene.mr_const:
-        mr = mats.mr_rgba[material_id]
-    else:
-        mr = sample_trilinear(scene.textures, mat_mr, uv, lod)
+        albedo, emissive, mr = _material_fields(scene, gbuffer, albedo)
 
     pos = world_position_from_depth(depth, camera.clip_to_world)
     cam_pos = jnp.asarray(camera.position)[:3]
