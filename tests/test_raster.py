@@ -153,6 +153,57 @@ def test_fine_raster_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
 
 
+def test_lod_selection_by_distance():
+    """cull.select_lod picks the registered level by view-distance/radius
+    ratio; emit_draws carries it as the per-draw mesh override and the
+    frame renders with it (beyond reference parity — voidin has no LOD)."""
+    w = vt.World()
+    fine = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 6))
+    coarse = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 2))
+    coarsest = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 1))
+    # ratio = dist / (AABB half-diagonal) = dist / sqrt(3) for unit spheres:
+    # near 2.9, mid 8.7, far 23.1
+    w.meshes.set_lods(fine, [(coarse, 7.0), (coarsest, 20.0)])
+    near = w.instances.add(
+        np.asarray(mathx.from_translation([0, 0, -5])), fine, 0
+    )
+    mid = w.instances.add(
+        np.asarray(mathx.from_translation([0, 0, -15])), fine, 0
+    )
+    far = w.instances.add(
+        np.asarray(mathx.from_translation([0, 0, -40])), fine, 0
+    )
+    scene = w.device()
+    assert scene.meshes.has_lods
+    cam = vt.Camera(position=[0, 0, 0], yaw=0.0, aspect=1.0).uniform()
+    sel = np.asarray(cull.select_lod(scene.meshes, scene.instances, cam))
+    assert sel[near] == fine
+    assert sel[mid] == coarse
+    assert sel[far] == coarsest
+
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+    assert draws.mesh is not None
+    n = int(draws.count)
+    inst = np.asarray(draws.instance)[:n]
+    mesh = np.asarray(draws.mesh)[:n]
+    np.testing.assert_array_equal(mesh, sel[inst])
+    # the frame renders with the override and the far instance uses ~96
+    # tris, not the fine mesh's ~4.6k
+    vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, CFG)
+    assert int(vis.overflow) == 0
+    assert (np.asarray(vis.tri_id) >= 0).sum() > 200
+
+
+def test_lod_unregistered_meshes_unchanged():
+    """A pool without LODs emits no mesh override (zero-cost path)."""
+    w = _scene()
+    scene = w.device()
+    assert not scene.meshes.has_lods
+    cam = _camera(1.0)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+    assert draws.mesh is None
+
+
 def test_sort_payload_matches_default_path():
     """sort_payload=True (payload rides the sort) must produce the same
     frame as the default sort-then-gather path. Guards the round-2 advisor
@@ -255,6 +306,72 @@ def test_alpha_cutout_reveals_occluded_geometry(backend):
     # the ghost quad (base_color.w < 0.5) must appear nowhere
     ghost_mat = mat_solid + 1
     assert not (mat == ghost_mat).any()
+
+
+def test_lazy_alpha_fallback_matches_dense():
+    """The compacted lazy alpha fallback must agree with the dense two-pass
+    oracle. Depth/material/normals agree exactly wherever the mip level
+    cannot differ; the only sanctioned deviation is lod selection on
+    fallback pixels (analytic within-triangle derivatives vs image-space
+    diffs), so agreement is asserted at >= 99.5% with identical coverage."""
+    import dataclasses
+
+    from voidin_tpu.passes import resolve
+
+    w, mat_mask, mat_solid = _alpha_scene()
+    scene = w.device()
+    cam = _alpha_camera(CFG.width / CFG.height)
+    draws = cull.DrawList(
+        instance=jnp.arange(scene.instances.count, dtype=jnp.int32),
+        count=jnp.int32(scene.instances.count),
+    )
+    cfg_d = dataclasses.replace(CFG, alpha_mask=True, lazy_alpha_resolve=False)
+    cfg_l = dataclasses.replace(CFG, alpha_mask=True, lazy_alpha_resolve=True)
+    vis = raster.rasterize(
+        scene.meshes, scene.instances, draws, cam, cfg_d,
+        materials=scene.materials,
+    )
+    gb_d, aux_d = resolve.resolve_gbuffer(scene, vis, cam, cfg_d)
+    gb_l, aux_l = resolve.resolve_gbuffer(scene, vis, cam, cfg_l)
+
+    assert int(aux_l.overflow) == 0
+    md, ml = np.asarray(gb_d.material), np.asarray(gb_l.material)
+    dd, dl = np.asarray(gb_d.depth), np.asarray(gb_l.depth)
+    assert (md == ml).mean() > 0.995, (md != ml).sum()
+    assert (dd == dl).mean() > 0.995
+    # the fallback actually engaged: some revealed-backdrop pixels exist
+    assert ((md == ml) & (md > 0)).sum() > 100
+    # Albedo matches everywhere except fallback pixels whose mip level
+    # legitimately differs (analytic vs image-space derivatives).
+    ad, al = np.asarray(aux_d.albedo), np.asarray(aux_l.albedo)
+    close = (np.abs(ad - al) < 1e-6).all(axis=-1)
+    assert close.mean() > 0.99, close.mean()
+
+
+def test_lazy_alpha_fallback_overflow_counter():
+    """Fallback pixels beyond capacity resolve to background and are
+    counted, never silently mis-resolved."""
+    import dataclasses
+
+    from voidin_tpu.passes import resolve
+
+    w, _mask, _solid = _alpha_scene()
+    scene = w.device()
+    cam = _alpha_camera(CFG.width / CFG.height)
+    draws = cull.DrawList(
+        instance=jnp.arange(scene.instances.count, dtype=jnp.int32),
+        count=jnp.int32(scene.instances.count),
+    )
+    cfg = dataclasses.replace(
+        CFG, alpha_mask=True, lazy_alpha_resolve=True,
+        alpha_fallback_capacity=8,
+    )
+    vis = raster.rasterize(
+        scene.meshes, scene.instances, draws, cam, cfg,
+        materials=scene.materials,
+    )
+    _gb, aux = resolve.resolve_gbuffer(scene, vis, cam, cfg)
+    assert int(aux.overflow) > 0
 
 
 def test_alpha_mask_off_keeps_legacy_semantics():

@@ -74,9 +74,21 @@ def config1_single_mesh(aspect: float) -> Preset:
 
 
 def config2_instanced_cull(aspect: float, n_instances: int = 1000) -> Preset:
-    """dragon-equivalent x1k instances: frustum cull + compacted draws."""
+    """dragon-equivalent x1k instances: frustum cull + compacted draws.
+
+    The full-detail knot is ~9.2k tris; without LOD the ~635 visible
+    instances push 5.9M drawn triangles through a 2^23 capacity and every
+    capacity-padded op pays for it (832 ms measured in round 2). A 3-level
+    LOD chain selected inside emit_draws keeps far instances at 2.3k/570/
+    140 tris, so live work — not capacity — sets the cost."""
     w = World()
     knot = w.meshes.add(mesh_mod.make_torus_knot(segments=192, sides=24))  # ~9k tris
+    lod1 = w.meshes.add(mesh_mod.make_torus_knot(segments=96, sides=12))  # ~2.3k
+    lod2 = w.meshes.add(mesh_mod.make_torus_knot(segments=48, sides=6))  # ~570
+    lod3 = w.meshes.add(mesh_mod.make_torus_knot(segments=24, sides=3))  # ~140
+    # Screen radius ~ 540/ratio px at 1080p: each level holds triangle
+    # density at a few px^2 — sub-pixel triangles are pure binning waste.
+    w.meshes.set_lods(knot, [(lod1, 5.0), (lod2, 12.0), (lod3, 24.0)])
     mat = w.materials.add()
     rng = np.random.default_rng(7)
     for _ in range(n_instances):
@@ -86,10 +98,11 @@ def config2_instanced_cull(aspect: float, n_instances: int = 1000) -> Preset:
         w.instances.add(np.asarray(t), knot, mat)
     w.lights.add_point_light([0, 20, 0], 80.0, [1, 1, 1])
     cam = Camera(position=[0, 4, 40], pitch=-6.0, aspect=aspect)
-    # ~635 visible instances x 9.2k tris: a genuinely heavy dragon-x1k
-    # stand-in (5.9M drawn triangles, 2.8M pairs)
+    # ~635 visible instances, ~300k live LOD-selected triangles: capacities
+    # sized to live work (validated by the overflow counter bench prints).
     return Preset(world=w, camera=cam, enable_taa=False,
-                  tri_capacity=1 << 23, pair_capacity=1 << 22)
+                  tri_capacity=1 << 19, pair_capacity=1 << 20,
+                  tile_tri_capacity=192)
 
 
 def config3_gltf_arealights(aspect: float) -> Preset:

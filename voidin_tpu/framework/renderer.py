@@ -154,9 +154,12 @@ def render_frame(
     ldr = post_pass.postprocess(hdr) if enable_post else hdr
     srgb = linear_to_srgb(ldr)
 
+    overflow = vis.overflow
+    if aux_r is not None and aux_r.overflow is not None:
+        overflow = overflow + aux_r.overflow  # alpha-fallback capacity
     aux = dict(
         draw_count=draws.count,
-        overflow=vis.overflow,
+        overflow=overflow,
         depth=gbuffer.depth,
         vis_coverage=jnp.sum((vis.tri_id >= 0).astype(jnp.int32)),
     )

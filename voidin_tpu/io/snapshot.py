@@ -33,6 +33,7 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
         [scene.alpha_masked, scene.emissive_const, scene.mr_const,
          scene.no_normal_maps], bool
     )
+    payload["aux_mesh_flags"] = np.asarray([scene.meshes.has_lods], bool)
     if camera is not None:
         payload["cam"] = np.asarray(
             [*camera.position, camera.yaw, camera.pitch, camera.aspect], np.float32
@@ -80,7 +81,12 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
                 kwargs[f.name] = next(it)
         return cls(**kwargs)
 
-    meshes = take(MeshPoolData)
+    mesh_flags = (
+        [bool(x) for x in data["aux_mesh_flags"]]
+        if "aux_mesh_flags" in data
+        else [False]
+    )
+    meshes = take(MeshPoolData, static=dict(has_lods=mesh_flags[0]))
     instances = take(InstanceData)
     materials = take(MaterialData)
     lights = take(LightData)

@@ -28,6 +28,9 @@ class DrawList:
 
     instance: jnp.ndarray  # (N,) i32 — visible instance ids, compacted; -1 pad
     count: jnp.ndarray  # () i32 — number of valid entries
+    # Optional per-draw mesh override (geometric LOD selected at cull
+    # time); None = use the instance's own mesh.
+    mesh: jnp.ndarray = struct.field(default=None)
 
 
 def instance_visibility(
@@ -64,7 +67,7 @@ def instance_visibility(
     return visible_x & visible_y & ~nf_culled
 
 
-def compact_draws(mask: jnp.ndarray) -> DrawList:
+def compact_draws(mask: jnp.ndarray, mesh_sel=None) -> DrawList:
     """Stream-compact visible instance ids into a dense prefix (emit_draws ->
     multi_draw chain, without the per-slot empty draws)."""
     n = mask.shape[0]
@@ -73,8 +76,47 @@ def compact_draws(mask: jnp.ndarray) -> DrawList:
     # a sort-based compaction with no scatter.
     order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
     valid = jnp.arange(n, dtype=jnp.int32) < count
-    return DrawList(instance=jnp.where(valid, order, -1), count=count)
+    mesh = None
+    if mesh_sel is not None:
+        mesh = jnp.where(valid, mesh_sel[order], -1)
+    return DrawList(instance=jnp.where(valid, order, -1), count=count,
+                    mesh=mesh)
+
+
+def select_lod(
+    meshes: MeshPoolData, instances: InstanceData, camera
+) -> jnp.ndarray:
+    """(N,) i32 per-instance LOD mesh selection (beyond reference parity —
+    the reference has no LOD). Level k engages when view-distance /
+    world-radius exceeds lod_thresh[m, k]; thresholds ascend, so the level
+    is a simple predicate sum. Far instances then rasterize a coarser mesh,
+    keeping live triangle counts (and therefore capacities) small on
+    many-instance scenes."""
+    transform = instances.transform
+    mesh_id = instances.mesh_id
+    mn = meshes.mesh_min[mesh_id]
+    mx = meshes.mesh_max[mesh_id]
+    center_obj = (mn + mx) * 0.5
+    view = jnp.asarray(camera.view)
+    vm = fastmath.compose_mat4(view, transform)
+    center = fastmath.mat4_point(vm, center_obj)
+    dist = jnp.linalg.norm(center, axis=-1)
+    scale = mathx.extract_scale(transform, xp=jnp)
+    max_scale = jnp.max(jnp.abs(scale), axis=-1)
+    radius = jnp.linalg.norm((mx - mn) * 0.5, axis=-1) * max_scale
+    ratio = dist / jnp.maximum(radius, 1e-6)
+
+    table = meshes.lod_table[mesh_id]  # (N, 4)
+    thresh = meshes.lod_thresh[mesh_id]  # (N, 4)
+    engaged = (table[:, 1:] >= 0) & (ratio[:, None] >= thresh[:, 1:])
+    level = jnp.sum(engaged.astype(jnp.int32), axis=-1)  # (N,) 0..3
+    return jnp.take_along_axis(table, level[:, None], axis=-1)[:, 0]
 
 
 def emit_draws(meshes: MeshPoolData, instances: InstanceData, camera) -> DrawList:
-    return compact_draws(instance_visibility(meshes, instances, camera))
+    mesh_sel = (
+        select_lod(meshes, instances, camera) if meshes.has_lods else None
+    )
+    return compact_draws(
+        instance_visibility(meshes, instances, camera), mesh_sel
+    )

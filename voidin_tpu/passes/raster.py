@@ -206,7 +206,10 @@ def triangle_setup(
     cap = config.tri_capacity
     inst_ids = draws.instance  # (N,) -1 padded
     safe_inst = jnp.maximum(inst_ids, 0)
-    mesh_ids = instances.mesh_id[safe_inst]
+    if draws.mesh is not None:  # cull-time LOD selection (cull.select_lod)
+        mesh_ids = jnp.maximum(draws.mesh, 0)
+    else:
+        mesh_ids = instances.mesh_id[safe_inst]
     n_tris = jnp.where(
         jnp.arange(inst_ids.shape[0]) < draws.count,
         meshes.index_count[mesh_ids] // 3,

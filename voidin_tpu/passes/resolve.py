@@ -9,9 +9,9 @@ per winning pixel and evaluates the same attribute math densely.
 Gather budget (TPU gathers are ~4-6 ns/row): per pixel this pass issues
 exactly 3 row-gathers — the packed resolve record (clip + ids, 48 B), ONE
 packed corner-attribute row (uv f32 + octahedral normals/tangents, 48 B),
-one fused instance+material record (basis + material fields, 64 B) — plus
-the albedo texture tap (and the normal-map tap only when the scene has
-normal maps).
+one fused instance+material record (basis + full material row, 96 B from a
+SMALL table) — plus the albedo texture tap (and the normal-map tap only
+when the scene has normal maps).
 
 Contract reproduced exactly:
 * normal matrix = upper-left 3x3 of the instance transform (not inverse
@@ -21,6 +21,17 @@ Contract reproduced exactly:
 * alpha cutoff: base_color.w < 0.5 || albedo.a < 0.5 -> background
   (visibility.wgsl:79-81);
 * G-buffer = (octahedral normal u32, pack2x16float uv, material id, depth).
+
+Alpha-masked scenes (RasterConfig.alpha_mask): pixels whose depth winner is
+alpha-cut fall back to the rasterizer's runner-up candidate. With
+`lazy_alpha_resolve` the fallback resolves only a COMPACTED list of cut
+pixels (capacity-padded flat batch + one packed-row scatter) instead of
+re-resolving every pixel densely — cut pixels are rare, so the masked-scene
+resolve cost drops from 2x to ~1.2x. Fallback pixels use ANALYTIC
+within-triangle uv derivatives for mip selection (the barycentric probe at
++1px), which is what the reference's raster-FS helper lanes compute for the
+revealed surface; the dense path keeps image-space finite differences (the
+reference's fullscreen shading-FS semantics).
 """
 
 from __future__ import annotations
@@ -48,84 +59,25 @@ class ResolveAux:
     albedo: jnp.ndarray  # (H, W, 4) filtered albedo (shading.wgsl:58)
     emissive: jnp.ndarray  # (H, W, 3)
     mr: jnp.ndarray  # (H, W, 4) metallic-roughness texel
+    overflow: jnp.ndarray = struct.field(default=None)  # () i32 or None
 
 
 def _normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
 
 
-def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
-    """Resolve the winning candidate; with second-candidate tracking
-    (RasterConfig.alpha_mask), pixels whose winner is alpha-cut fall back to
-    the runner-up — reproducing visibility.wgsl:79-81 `discard`, where a cut
-    fragment never writes depth and the triangle BEHIND it stays visible.
-    One level of fallback: a cutout behind a cutout (both cut at the same
-    pixel) resolves to background; deeper stacking would need k > 2
-    candidates. Returns (GBuffer, ResolveAux)."""
-    if vis.tri_id2 is not None:
-        _, _, cut1 = _resolve_once(
-            scene, vis, vis.tri_id, vis.depth, camera, want_aux=False
-        )
-        fall = (vis.tri_id >= 0) & cut1
-        tid = jnp.where(fall, vis.tri_id2, vis.tri_id)
-        dep = jnp.where(fall, vis.depth2, vis.depth)
-        gbuffer, aux, _ = _resolve_once(scene, vis, tid, dep, camera)
-        return gbuffer, aux
-    gbuffer, aux, _ = _resolve_once(
-        scene, vis, vis.tri_id, vis.depth, camera
-    )
-    return gbuffer, aux
-
-
-def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera,
-                  want_aux: bool = True):
-    H, W = depth.shape
-    tid = jnp.maximum(tri_id, 0)
-    hit = tri_id >= 0
-
-    # Gather 1: packed resolve record [x,y,w per vertex | inst | idx_start].
-    rec = vis.resolve_rec[tid]  # (H, W, 12)
-    cl = rec[..., :9].reshape(H, W, 3, 3)
-    inst = rec[..., 9].astype(jnp.int32)
-    tri_pool = (rec[..., 10] / 3.0).astype(jnp.int32)  # idx_start / 3
-
-    # Perspective-correct barycentrics via 2D homogeneous coordinates:
-    # b ∝ cross(u, v) with u_i = c_i.x - x*c_i.w, v_i = c_i.y - y*c_i.w.
-    x_ndc = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0)[None, :]
-    y_ndc = (1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0)[:, None]
-    u = cl[..., 0] - x_ndc[..., None] * cl[..., 2]  # (H, W, 3)
-    v = cl[..., 1] - y_ndc[..., None] * cl[..., 2]
-    b = jnp.cross(u, v)
-    bsum = jnp.sum(b, axis=-1, keepdims=True)
-    sign = jnp.where(bsum < 0, -1.0, 1.0)
-    lam_p = b * sign / jnp.maximum(bsum * sign, 1e-20)  # (H, W, 3)
-
-    # Gather 2: ONE packed corner-attribute row (48 B): exact f32 uv per
-    # corner + octahedral corner normals/tangents (see MeshPoolData).
-    pk = scene.meshes.tri_attr_packed[tri_pool]  # (H, W, 12) u32
-    uv_c = jax.lax.bitcast_convert_type(
-        pk[..., 0:6], jnp.float32
-    ).reshape(H, W, 3, 2)
-    n_c = encoding.decode_octahedral_32(pk[..., 6:9])  # (H, W, 3, 3)
-    t_enc = pk[..., 9:12]
-    t_sign = 1.0 - 2.0 * (t_enc & jnp.uint32(1)).astype(jnp.float32)
-    t_c = encoding.decode_octahedral_32(t_enc)  # (H, W, 3, 3)
-    normal_raw = jnp.sum(n_c * lam_p[..., None], axis=-2)
-    tangent_raw = jnp.sum(t_c * lam_p[..., None], axis=-2)
-    tangent_w = jnp.sum(t_sign * lam_p, axis=-1)
-    uv = jnp.sum(uv_c * lam_p[..., None], axis=-2)
-
-    # Gather 3: ONE fused per-instance record (transform basis + the FULL
-    # material row), built densely from the live pools each frame. Folding
-    # every material field the frame needs into the instance row makes this
-    # the frame's only material fetch: the shading pass then runs with zero
-    # per-pixel gathers. 24 f32 = 96 B rows from a small (N-instance) table
-    # stay in the flat-cost gather regime (tools/microbench_gather.py).
+def _inst_rec(scene: SceneData):
+    """ONE fused per-instance record (transform basis + the FULL material
+    row), built densely from the live pools each frame. Folding every
+    material field the frame needs into the instance row makes this the
+    frame's only material fetch: the shading pass then runs with zero
+    per-pixel gathers. 24 f32 = 96 B rows from a small (N-instance) table
+    stay in the flat-cost gather regime (tools/microbench_gather.py)."""
     n_inst = scene.instances.count
     mats = scene.materials
     mid = scene.instances.material_id  # (N,)
     albedo_sz = scene.textures.size[mats.albedo[mid]].astype(jnp.float32)
-    inst_rec = jnp.concatenate(
+    return jnp.concatenate(
         [
             scene.instances.transform[:, :3, :3].reshape(n_inst, 9),
             mid.astype(jnp.float32)[:, None],
@@ -140,8 +92,58 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera,
         ],
         axis=-1,
     )  # (N, 24)
-    irec = inst_rec[inst]  # (H, W, 24)
-    basis = irec[..., :9].reshape(H, W, 3, 3)
+
+
+def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
+                  x_ndc, y_ndc, want_aux: bool = True, lod_probe=None):
+    """Core per-pixel resolve for an arbitrary pixel-set shape S.
+
+    tri_id/depth: shape S (raw ids, -1 = background). x_ndc/y_ndc: NDC
+    coordinates broadcastable to S. lod_probe: None -> mip lod from dense
+    image-space finite differences (requires S = (H, W)); (dx, dy) NDC
+    steps -> analytic within-triangle barycentric probes (any S).
+    Returns a dict of unmasked per-pixel fields + keep/cut masks.
+    """
+    S = tri_id.shape
+    tid = jnp.maximum(tri_id, 0)
+    hit = tri_id >= 0
+
+    # Gather 1: packed resolve record [x,y,w per vertex | inst | idx_start].
+    rec = vis.resolve_rec[tid]  # (*S, 12)
+    cl = rec[..., :9].reshape(S + (3, 3))
+    inst = rec[..., 9].astype(jnp.int32)
+    tri_pool = (rec[..., 10] / 3.0).astype(jnp.int32)  # idx_start / 3
+
+    # Perspective-correct barycentrics via 2D homogeneous coordinates:
+    # b ∝ cross(u, v) with u_i = c_i.x - x*c_i.w, v_i = c_i.y - y*c_i.w.
+    def bary(xn, yn):
+        u = cl[..., 0] - xn[..., None] * cl[..., 2]  # (*S, 3)
+        v = cl[..., 1] - yn[..., None] * cl[..., 2]
+        b = jnp.cross(u, v)
+        bsum = jnp.sum(b, axis=-1, keepdims=True)
+        sign = jnp.where(bsum < 0, -1.0, 1.0)
+        return b * sign / jnp.maximum(bsum * sign, 1e-20)
+
+    lam_p = bary(x_ndc, y_ndc)  # (*S, 3)
+
+    # Gather 2: ONE packed corner-attribute row (48 B): exact f32 uv per
+    # corner + octahedral corner normals/tangents (see MeshPoolData).
+    pk = scene.meshes.tri_attr_packed[tri_pool]  # (*S, 12) u32
+    uv_c = jax.lax.bitcast_convert_type(
+        pk[..., 0:6], jnp.float32
+    ).reshape(S + (3, 2))
+    n_c = encoding.decode_octahedral_32(pk[..., 6:9])  # (*S, 3, 3)
+    t_enc = pk[..., 9:12]
+    t_sign = 1.0 - 2.0 * (t_enc & jnp.uint32(1)).astype(jnp.float32)
+    t_c = encoding.decode_octahedral_32(t_enc)  # (*S, 3, 3)
+    normal_raw = jnp.sum(n_c * lam_p[..., None], axis=-2)
+    tangent_raw = jnp.sum(t_c * lam_p[..., None], axis=-2)
+    tangent_w = jnp.sum(t_sign * lam_p, axis=-1)
+    uv = jnp.sum(uv_c * lam_p[..., None], axis=-2)
+
+    # Gather 3: fused instance+material record (see _inst_rec).
+    irec = _inst_rec(scene)[inst]  # (*S, 24)
+    basis = irec[..., :9].reshape(S + (3, 3))
     material_id = irec[..., 9].astype(jnp.int32)
     mat_albedo = irec[..., 10].astype(jnp.int32)
     mat_normal = irec[..., 11].astype(jnp.int32)
@@ -152,11 +154,22 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera,
     t_ws = fastmath.mat3_vec(basis, tangent_raw)
     b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
 
-    # Mip LOD from screen-space uv derivatives (texture extent rides the
-    # fused instance record — no per-pixel size gather).
+    # Mip LOD (texture extent rides the fused instance record).
     tex_w = irec[..., 15]
     tex_h = irec[..., 16]
-    lod = uv_lod(uv, tex_w, tex_h)
+    if lod_probe is None:
+        lod = uv_lod(uv, tex_w, tex_h)
+    else:
+        dxn, dyn = lod_probe
+        uv_x = jnp.sum(uv_c * bary(x_ndc + dxn, y_ndc)[..., None], axis=-2)
+        uv_y = jnp.sum(uv_c * bary(x_ndc, y_ndc - dyn)[..., None], axis=-2)
+        du = uv_x - uv
+        dv = uv_y - uv
+        rho = jnp.maximum(
+            jnp.abs(du[..., 0]) * tex_w + jnp.abs(du[..., 1]) * tex_h,
+            jnp.abs(dv[..., 0]) * tex_w + jnp.abs(dv[..., 1]) * tex_h,
+        )
+        lod = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-8)), 0.0, 16.0)
 
     albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
 
@@ -182,24 +195,19 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera,
 
     packed_n = encoding.encode_octahedral_32(normal)
     packed_uv = encoding.pack2x16float(uv)
-    normal_uv = jnp.stack(
-        [
-            jnp.where(keep, packed_n, jnp.uint32(0)),
-            jnp.where(keep, packed_uv, jnp.uint32(0)),
-        ],
-        axis=-1,
-    )
-    gbuffer = GBuffer(
-        normal_uv=normal_uv,
+    out = dict(
+        packed_n=jnp.where(keep, packed_n, jnp.uint32(0)),
+        packed_uv=jnp.where(keep, packed_uv, jnp.uint32(0)),
         material=jnp.where(keep, material_id, 0).astype(jnp.int32),
         depth=jnp.where(keep, depth, 0.0),
+        keep=keep,
+        cut=cut,
     )
     if not want_aux:
-        return gbuffer, None, cut
+        return out
 
-    # Shading-pass material fields, computed here so shade() issues no
-    # gathers. Semantics match what shade() previously derived from the
-    # G-buffer exactly:
+    # Shading-pass material fields (see ResolveAux). Semantics match what
+    # shade() previously derived from the G-buffer exactly:
     # * albedo: sampled above at the exact uv/lod (shading.wgsl:58);
     #   background / cut pixels revert to the material-0 WHITE lookup the
     #   reference would produce from its cleared G-buffer.
@@ -208,33 +216,156 @@ def _resolve_once(scene: SceneData, vis: VisBuffer, tri_id, depth, camera,
     #   uv + its lod — the reference shading FS reads uv back from the
     #   packed G-buffer (pack2x16float roundtrip), so we reproduce that
     #   quantization rather than use the exact uv.
-    aux_albedo = jnp.where(keep[..., None], albedo, jnp.ones_like(albedo))
+    mats = scene.materials
+    out["albedo"] = jnp.where(keep[..., None], albedo, jnp.ones_like(albedo))
     mat_emissive = irec[..., 13].astype(jnp.int32)
     mat_mr = irec[..., 14].astype(jnp.int32)
+    if not (scene.emissive_const and scene.mr_const):
+        uv_s = encoding.unpack2x16float(out["packed_uv"])  # 0 off-keep
+        if lod_probe is None:
+            lod_s = uv_lod(uv_s, jnp.where(keep, tex_w, 1.0),
+                           jnp.where(keep, tex_h, 1.0))
+        else:
+            lod_s = lod  # flat batch: reuse the analytic lod
     if scene.emissive_const:
-        emissive = jnp.where(
-            keep[..., None], irec[..., 17:20],
-            mats.emissive_rgba[0, :3],
+        out["emissive"] = jnp.where(
+            keep[..., None], irec[..., 17:20], mats.emissive_rgba[0, :3]
         )
     else:
-        uv_s = encoding.unpack2x16float(normal_uv[..., 1])  # 0 off-keep
-        lod_s = uv_lod(uv_s, jnp.where(keep, tex_w, 1.0),
-                       jnp.where(keep, tex_h, 1.0))
-        emissive = sample_trilinear(
+        out["emissive"] = sample_trilinear(
             scene.textures,
             jnp.where(keep, mat_emissive, mats.emissive[0]),
             uv_s, lod_s,
         )[..., :3]
     if scene.mr_const:
-        mr = jnp.where(keep[..., None], irec[..., 20:24], mats.mr_rgba[0])
+        out["mr"] = jnp.where(
+            keep[..., None], irec[..., 20:24], mats.mr_rgba[0]
+        )
     else:
-        uv_s = encoding.unpack2x16float(normal_uv[..., 1])
-        lod_s = uv_lod(uv_s, jnp.where(keep, tex_w, 1.0),
-                       jnp.where(keep, tex_h, 1.0))
-        mr = sample_trilinear(
+        out["mr"] = sample_trilinear(
             scene.textures,
             jnp.where(keep, mat_mr, mats.metallic_roughness[0]),
             uv_s, lod_s,
         )
-    aux = ResolveAux(albedo=aux_albedo, emissive=emissive, mr=mr)
-    return gbuffer, aux, cut
+    return out
+
+
+def _assemble(fields, overflow=None):
+    gbuffer = GBuffer(
+        normal_uv=jnp.stack([fields["packed_n"], fields["packed_uv"]],
+                            axis=-1),
+        material=fields["material"],
+        depth=fields["depth"],
+    )
+    aux = None
+    if "albedo" in fields:
+        aux = ResolveAux(albedo=fields["albedo"], emissive=fields["emissive"],
+                         mr=fields["mr"], overflow=overflow)
+    return gbuffer, aux
+
+
+# Packed fallback row layout (u32 bitcast): the flat batch's results return
+# to the image through ONE row scatter — scatters are not row-rate flat on
+# TPU, so one 64 B row beats 15 separate field scatters by an order of
+# magnitude.
+_FB_F = 16  # [n, uv, material, depth, albedo*4, emissive*3, mr*4, flag]
+
+
+def _pack_fallback_rows(fields):
+    f32 = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+        x.astype(jnp.float32), jnp.uint32
+    )
+    cols = [
+        fields["packed_n"],
+        fields["packed_uv"],
+        fields["material"].astype(jnp.uint32),
+        f32(fields["depth"]),
+    ]
+    cols += [f32(fields["albedo"][..., c]) for c in range(4)]
+    cols += [f32(fields["emissive"][..., c]) for c in range(3)]
+    cols += [f32(fields["mr"][..., c]) for c in range(4)]
+    cols.append(jnp.ones_like(fields["packed_n"]))  # processed flag
+    return jnp.stack(cols, axis=-1)  # (F, 16) u32
+
+
+def _unpack_fallback(img_u32):
+    f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)  # noqa: E731
+    return dict(
+        packed_n=img_u32[..., 0],
+        packed_uv=img_u32[..., 1],
+        material=img_u32[..., 2].astype(jnp.int32),
+        depth=f32(img_u32[..., 3]),
+        albedo=f32(img_u32[..., 4:8]),
+        emissive=f32(img_u32[..., 8:11]),
+        mr=f32(img_u32[..., 11:15]),
+        flag=img_u32[..., 15] > 0,
+    )
+
+
+def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
+    """Resolve the winning candidate; with second-candidate tracking
+    (RasterConfig.alpha_mask), pixels whose winner is alpha-cut fall back to
+    the runner-up — reproducing visibility.wgsl:79-81 `discard`, where a cut
+    fragment never writes depth and the triangle BEHIND it stays visible.
+    One level of fallback: a cutout behind a cutout (both cut at the same
+    pixel) resolves to background; deeper stacking would need k > 2
+    candidates. Returns (GBuffer, ResolveAux)."""
+    H, W = vis.depth.shape
+    x_ndc = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0)[None, :]
+    y_ndc = (1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0)[:, None]
+    x_ndc = jnp.broadcast_to(x_ndc, (H, W))
+    y_ndc = jnp.broadcast_to(y_ndc, (H, W))
+
+    if vis.tri_id2 is None:
+        fields = _pixel_fields(scene, vis, vis.tri_id, vis.depth,
+                               x_ndc, y_ndc)
+        return _assemble(fields)
+
+    if not getattr(config, "lazy_alpha_resolve", False):
+        # Dense two-pass fallback (kept as the oracle twin for the lazy
+        # path): pass 1 finds cut winners, pass 2 re-resolves every pixel
+        # with the runner-up substituted.
+        f1 = _pixel_fields(scene, vis, vis.tri_id, vis.depth, x_ndc, y_ndc,
+                           want_aux=False)
+        fall = (vis.tri_id >= 0) & f1["cut"]
+        tid = jnp.where(fall, vis.tri_id2, vis.tri_id)
+        dep = jnp.where(fall, vis.depth2, vis.depth)
+        fields = _pixel_fields(scene, vis, tid, dep, x_ndc, y_ndc)
+        return _assemble(fields)
+
+    # Lazy fallback: full resolve of the winners (this IS the final result
+    # for every non-cut pixel), then a compacted flat batch over the cut
+    # pixels only, scattered back as packed rows.
+    f1 = _pixel_fields(scene, vis, vis.tri_id, vis.depth, x_ndc, y_ndc)
+    fall = (vis.tri_id >= 0) & f1["cut"]
+    F = config.alpha_fallback_capacity or max((H * W) // 16, 1024)
+
+    flat = fall.reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    idx = jnp.nonzero(flat, size=F, fill_value=0)[0]  # (F,) pixel indices
+    valid = jnp.arange(F) < jnp.minimum(count, F)
+    tid2 = jnp.where(valid, vis.tri_id2.reshape(-1)[idx], -1)
+    dep2 = vis.depth2.reshape(-1)[idx]
+    fx = (idx % W).astype(jnp.float32)
+    fy = (idx // W).astype(jnp.float32)
+    xb = (fx + 0.5) / W * 2.0 - 1.0
+    yb = 1.0 - (fy + 0.5) / H * 2.0
+    fb = _pixel_fields(scene, vis, tid2, dep2, xb, yb,
+                       lod_probe=(2.0 / W, 2.0 / H))
+    rows = _pack_fallback_rows(fb)
+
+    buf = jnp.zeros((H * W, _FB_F), jnp.uint32)
+    # invalid slots write out-of-bounds and are dropped
+    widx = jnp.where(valid, idx, H * W)
+    buf = buf.at[widx].set(rows, mode="drop")
+    fbimg = _unpack_fallback(buf.reshape(H, W, _FB_F))
+    use = fall & fbimg["flag"]
+
+    merged = dict(f1)
+    for k in ("packed_n", "packed_uv", "material"):
+        merged[k] = jnp.where(use, fbimg[k], f1[k])
+    merged["depth"] = jnp.where(use, fbimg["depth"], f1["depth"])
+    for k in ("albedo", "emissive", "mr"):
+        merged[k] = jnp.where(use[..., None], fbimg[k], f1[k])
+    overflow = jnp.maximum(count - F, 0)
+    return _assemble(merged, overflow=overflow)

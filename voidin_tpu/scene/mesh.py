@@ -186,6 +186,15 @@ class MeshPoolData:
     # stores the interpolated normal octahedrally — encoding.wgsl:1-28);
     # uv exact f32.
     tri_attr_packed: jnp.ndarray  # (T_pool, 12) u32
+    # Geometric LOD chain (beyond reference parity — the reference has no
+    # LOD): lod_table[m, 0] == m; lod_table[m, k>0] = coarser pool mesh id
+    # or -1. lod_thresh[m, k] = distance/radius ratio above which level k
+    # engages (monotonic). emit_draws selects the level per instance so
+    # live raster work — not capacity — sets the frame cost on
+    # many-instance scenes (BASELINE config 2).
+    lod_table: jnp.ndarray  # (M, 4) i32
+    lod_thresh: jnp.ndarray  # (M, 4) f32
+    has_lods: bool = struct.field(pytree_node=False, default=False)
 
 
 class MeshPool:
@@ -242,6 +251,20 @@ class MeshPool:
         self._bvh_count += len(nodes)
         return mesh_id
 
+    def set_lods(self, base_id: int, lods) -> None:
+        """Register a geometric LOD chain for `base_id`.
+
+        `lods`: up to 3 (mesh_id, ratio) pairs, ratio = view distance /
+        bounding radius above which that level engages; must be ascending.
+        emit_draws then substitutes the coarser mesh per instance at cull
+        time (the raster, not the ray-traced path, consumes the LOD)."""
+        assert len(lods) <= 3
+        ratios = [r for _m, r in lods]
+        assert ratios == sorted(ratios), "LOD thresholds must ascend"
+        for m, _r in lods:
+            assert 0 <= m < len(self.mesh_info)
+        self.mesh_info[base_id]["lods"] = list(lods)
+
     def host_arrays(self) -> dict:
         nodes = (
             np.concatenate(self.bvh_nodes)
@@ -267,7 +290,21 @@ class MeshPool:
             bvh_count=np.ascontiguousarray(nodes["count"]),
             tri_pos=self._tri_pos(),
             **self._tri_attrs(),
+            **self._lod_arrays(),
         )
+
+    def _lod_arrays(self) -> dict:
+        m = len(self.mesh_info)
+        table = np.full((m, 4), -1, np.int32)
+        thresh = np.zeros((m, 4), np.float32)
+        table[:, 0] = np.arange(m, dtype=np.int32)
+        has = False
+        for i, info in enumerate(self.mesh_info):
+            for k, (mid, ratio) in enumerate(info.get("lods", [])):
+                table[i, k + 1] = mid
+                thresh[i, k + 1] = ratio
+                has = True
+        return dict(lod_table=table, lod_thresh=thresh, has_lods=has)
 
     def _tri_attrs(self) -> dict:
         from ..core.encoding import encode_octahedral_32_np
@@ -312,7 +349,10 @@ class MeshPool:
 
     def device(self) -> MeshPoolData:
         h = self.host_arrays()
-        return MeshPoolData(**{k: jnp.asarray(v) for k, v in h.items()})
+        has_lods = h.pop("has_lods")
+        return MeshPoolData(
+            has_lods=has_lods, **{k: jnp.asarray(v) for k, v in h.items()}
+        )
 
 
 def make_torus_knot(
