@@ -213,6 +213,7 @@ def run_preset(n, profile=False):
         enable_cull=p.enable_cull,
         enable_taa=p.enable_taa,
         enable_rt_shadows=p.enable_rt_shadows,
+        rt_shadow_scale=p.rt_shadow_scale,
         moving_ids=np.asarray(p.moving_ids, np.int32),
     )
 

@@ -1,9 +1,10 @@
 """LTC ring (annulus) light demo — src/bin/ring_light.rs equivalent.
 
-The reference integrates clipped disks with specialized LTC math
-(ring_light.wgsl ltc_evaluate_ring); here the annulus is outer-polygon
-minus inner-polygon through the general LTC edge integrator, exact up to
-the N-gon approximation of the circle."""
+Uses the EXACT clipped-disk LTC evaluation (ellipse eigen-decomposition +
+cubic solve, ring_light.wgsl:189-305): spec via ltc_evaluate_ring2 (full
+disk minus shrunk disk), diffuse via the full disk — the reference demo's
+semantics, including the flat-grey material-0 background and the
+ray-intersected annulus emitter band."""
 
 import argparse
 
@@ -49,8 +50,8 @@ def main():
     gb, aux = resolve.resolve_gbuffer(scene, vis, cam, cfg)
     hdr = shading.shade_ring_light(
         scene, gb, cam,
-        ring_center=[0, 4.0, -6.0], ring_normal=[0, 1.0, -0.2],
-        r_outer=2.5, r_inner=1.8, color=(1.0, 0.85, 0.6), intensity=6.0,
+        disk_center=[0, 4.0, -2.0], disk_dirx=[1.0, 0.0, 0.0],
+        disk_diry=[0.0, 0.2, -1.0], halfx=2.5, halfy=2.5,
         albedo=aux.albedo,
     )
     from voidin_tpu.passes.postprocess import postprocess

@@ -188,3 +188,41 @@ def test_presets_build():
         p = fn(16 / 9)
         assert len(p.world.instances) > 0, i
         assert p.camera.aspect == 16 / 9
+
+
+def test_terminal_viewer_ansi_frame():
+    """The terminal viewer's half-block encoder: right cell grid, 24-bit
+    SGR codes, top/bottom pixel split."""
+    from voidin_tpu.framework.viewer import ansi_frame
+
+    img = np.zeros((4, 6, 3), np.uint8)
+    img[:2] = [255, 0, 0]   # top half red
+    img[2:] = [0, 0, 255]   # bottom half blue
+    s = ansi_frame(img, cols=3, rows=2)
+    lines = s.split("\n")
+    assert len(lines) == 2
+    assert lines[0].count("▀") == 3
+    # row 0 covers pixel rows 0-1: both red
+    assert "\x1b[38;2;255;0;0m" in lines[0] and "48;2;255;0;0m" in lines[0]
+    # row 1 covers pixel rows 2-3: both blue
+    assert "38;2;0;0;255m" in lines[1]
+    assert s.endswith("\x1b[0m")
+
+
+def test_terminal_viewer_headless_frames():
+    """run_terminal drives App.step() even without a tty (frames render to
+    the provided stream; input is simply absent)."""
+    import io
+
+    from voidin_tpu.framework.app import App
+    from voidin_tpu.framework.viewer import run_terminal
+    from voidin_tpu.passes.raster import RasterConfig
+
+    cfg = RasterConfig(width=96, height=64, tri_capacity=1 << 10,
+                       pair_capacity=1 << 12, interpret=True)
+    app = App(_Demo(), camera=vt.Camera(position=[0, 1, 4]), config=cfg)
+    buf = io.StringIO()
+    n = run_terminal(app, max_frames=2, fps_cap=1000.0, out=buf)
+    assert n == 2
+    s = buf.getvalue()
+    assert "▀" in s and "fps" in s and "\x1b[38;2;" in s

@@ -91,3 +91,29 @@ def test_frustum_packing_matches_planes():
     vis_clip = (np.abs(clip[:, 0]) <= w) & (np.abs(clip[:, 1]) <= w)
     agree = vis_packed == vis_clip
     assert agree.mean() > 0.999
+
+
+def test_hash_functions():
+    """utils/hash.wgsl parity port: deterministic, in [0, 1), and roughly
+    uniform (no sine-hash banding)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from voidin_tpu.core import hash as h
+
+    x = jnp.linspace(0.0, 113.7, 4097)
+    for v in (h.hash11(x), h.hash21(jnp.stack([x, x * 1.7], -1)),
+              h.hash31(jnp.stack([x, x * 0.7, x * 2.3], -1))):
+        v = np.asarray(v)
+        assert ((v >= 0) & (v < 1)).all()
+        assert 0.4 < v.mean() < 0.6 and v.std() > 0.2
+    v3 = np.asarray(h.hash13(x))
+    v33 = np.asarray(h.hash33(jnp.stack([x, x * 0.7, x * 2.3], -1)))
+    for v in (v3, v33):
+        assert v.shape[-1] == 3
+        assert ((v >= 0) & (v < 1)).all()
+        assert 0.35 < v.mean() < 0.65
+    # determinism
+    np.testing.assert_array_equal(np.asarray(h.hash11(x)), np.asarray(h.hash11(x)))

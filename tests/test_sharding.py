@@ -99,6 +99,76 @@ def test_sharded_output_is_actually_sharded():
     assert shard_shape[0] == HEIGHT // 8, shard_shape
 
 
+def test_sharded_pallas_raster_matches_unsharded():
+    """The PRODUCTION raster path (Pallas kernel, row-partitioned under
+    shard_map — each device bins + rasterizes its own tile rows) must be
+    bit-identical to the unsharded Pallas frame."""
+    cfg, args = _scene()
+    cfg = dataclasses.replace(cfg, backend="pallas", interpret=True)
+    base_fn = jax.jit(partial(render_frame, config=cfg, mesh=None))
+    img_base, _, _, aux_base = base_fn(*args)
+
+    mesh = make_mesh(8)
+    shard_fn = jax.jit(partial(render_frame, config=cfg, mesh=mesh))
+    img_shard, _, _, aux = shard_fn(*args)
+
+    assert int(aux["overflow"]) == int(aux_base["overflow"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(img_base), np.asarray(img_shard),
+        err_msg="sharded Pallas raster must be bit-identical",
+    )
+
+
+def test_sharded_raster_work_is_partitioned():
+    """Per-device raster work is provably ~1/N: each device's binned pair
+    count equals the pairs whose tiles fall in its row slab, and the slab
+    counts sum to the global pair count (nothing replicated, nothing
+    dropped)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from voidin_tpu.parallel import sharding as sh
+    from voidin_tpu.passes import cull, raster
+
+    cfg, (scene, cam, _g, _st, _mov) = _scene()
+    cfg = dataclasses.replace(cfg, backend="pallas", interpret=True)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+    setup = raster.triangle_setup(
+        scene.meshes, scene.instances, draws, cam, cfg,
+        materials=scene.materials,
+    )
+    # global binning: per-tile counts
+    _rec, _starts, counts_g, ov_g = raster.bin_triangles_pairs(setup, cfg)
+    assert int(ov_g) == 0
+    mesh = make_mesh(8)
+    rows_per = cfg.tiles_y // 8
+
+    def body(setup_):
+        d = jax.lax.axis_index(sh.ROW_AXIS)
+        _r, _s, counts, ov = raster.bin_triangles_pairs(
+            setup_, cfg, ty_range=(d * rows_per, rows_per)
+        )
+        return jnp.sum(counts)[None], ov[None]
+
+    per_dev, ovs = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P(),),
+        out_specs=(P(sh.ROW_AXIS), P(sh.ROW_AXIS)), check_rep=False,
+    ))(setup)
+    per_dev = np.asarray(per_dev)
+    assert (np.asarray(ovs) == 0).all()
+    # each device binned only its slab's pairs...
+    counts_tiles = np.asarray(counts_g)[:cfg.n_tiles].reshape(
+        cfg.tiles_y, cfg.tiles_x
+    )
+    want = counts_tiles.reshape(8, rows_per, -1).sum(axis=(1, 2))
+    np.testing.assert_array_equal(per_dev, want)
+    # ...and the slabs cover the global work exactly
+    assert per_dev.sum() == counts_tiles.sum()
+    # the scene actually spans several slabs (the test would be vacuous if
+    # one device owned all pairs)
+    assert (per_dev > 0).sum() >= 3, per_dev
+
+
 def test_shard_rows_helper_roundtrip():
     mesh = make_mesh(8)
 

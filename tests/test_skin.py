@@ -50,6 +50,7 @@ def _skinned_world():
             mesh, w.meshes.indices[mid], jv, wv,
             base_tri=info["base_index"] // 3, mesh_id=mid,
             joint_offset=off, n_joints=2,
+            nodes=w.meshes.bvh_nodes[mid], bvh_base=info["bvh_index"],
         )
     )
     w.instances.add(np.eye(4, dtype=np.float32), mid, 0)
@@ -271,3 +272,130 @@ def test_config4_preset_clapper_renders():
     )
     assert np.isfinite(img0).all() and np.isfinite(img1).all()
     assert np.abs(img1 - img0).max() > 0.02  # arms moved
+
+
+def test_blas_refit_tracks_pose():
+    """In-jit BLAS refit: after bending, every node AABB must contain its
+    triangles/children (validity) and the root must equal the skinned
+    geometry's bounds (tightness at the top)."""
+    import jax.numpy as jnp
+
+    w = vt.World()  # build_bvh=True: real SAH tree to refit
+    mesh, jv, wv = _strip_mesh()
+    mid = w.meshes.add(mesh)
+    info = w.meshes.mesh_info[mid]
+    off = w.allocate_joints(2)
+    w.skins.append(
+        skin_mod.build_skin_data(
+            mesh, w.meshes.indices[mid], jv, wv,
+            base_tri=info["base_index"] // 3, mesh_id=mid,
+            joint_offset=off, n_joints=2,
+            nodes=w.meshes.bvh_nodes[mid], bvh_base=info["bvh_index"],
+        )
+    )
+    w.instances.add(np.eye(4, dtype=np.float32), mid, 0)
+    scene = w.device()
+    sd = scene.skins[0]
+    assert sd.refit_order is not None
+
+    rot = np.asarray(
+        mathx.from_translation([0, 1, 0])
+        @ mathx.from_rotation_z(np.float32(1.2))
+        @ mathx.from_translation([0, -1, 0])
+    )
+    jm = jnp.asarray(np.stack([np.eye(4, dtype=np.float32), rot]))
+    meshes2 = skin_mod.apply_skins(scene.meshes, scene.skins, jm)
+
+    base = sd.bvh_base
+    n_nodes = len(w.meshes.bvh_nodes[mid])
+    bmin = np.asarray(meshes2.bvh_min)[base:base + n_nodes]
+    bmax = np.asarray(meshes2.bvh_max)[base:base + n_nodes]
+    nodes = w.meshes.bvh_nodes[mid]
+    pos = np.asarray(meshes2.tri_pos).reshape(-1, 3, 3)[
+        sd.base_tri:sd.base_tri + sd.rest_pos.shape[0]
+    ]
+    # only nodes reachable from the root carry refit AABBs (slot 1 is
+    # deliberately empty in the reference layout)
+    reach = {0}
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        if nodes["count"][n] == 0:
+            for c in (int(nodes["left_first"][n]),
+                      int(nodes["left_first"][n]) + 1):
+                reach.add(c)
+                stack.append(c)
+    eps = 1e-5
+    for n in range(n_nodes):
+        if n not in reach:
+            continue
+        if nodes["count"][n] > 0:
+            lo = int(nodes["left_first"][n])
+            tris = pos[lo:lo + int(nodes["count"][n])]
+            assert (bmin[n] <= tris.reshape(-1, 3).min(0) + eps).all()
+            assert (bmax[n] >= tris.reshape(-1, 3).max(0) - eps).all()
+        else:
+            l = int(nodes["left_first"][n])
+            assert (bmin[n] <= bmin[l] + eps).all() and (
+                bmin[n] <= bmin[l + 1] + eps).all()
+            assert (bmax[n] >= bmax[l] - eps).all() and (
+                bmax[n] >= bmax[l + 1] - eps).all()
+    # root is tight around the skinned geometry
+    np.testing.assert_allclose(bmin[0], pos.reshape(-1, 3).min(0), atol=1e-4)
+    np.testing.assert_allclose(bmax[0], pos.reshape(-1, 3).max(0), atol=1e-4)
+
+
+def test_skinned_traced_shadow_tracks_pose():
+    """End-to-end: rays toward the light are occluded by the arm's CURRENT
+    pose, not its rest pose (round-2 VERDICT item 8). The arm starts
+    vertical at x=0 and bends its top toward +x; a probe under the bent
+    tip must become occluded, a probe under the rest-pose tip must clear."""
+    import jax.numpy as jnp
+
+    from voidin_tpu.rt import traverse as trav
+    from voidin_tpu.scene.skin import apply_skins, refit_tlas
+
+    w = vt.World()
+    mesh, jv, wv = _strip_mesh()
+    mid = w.meshes.add(mesh)
+    info = w.meshes.mesh_info[mid]
+    off = w.allocate_joints(2)
+    w.skins.append(
+        skin_mod.build_skin_data(
+            mesh, w.meshes.indices[mid], jv, wv,
+            base_tri=info["base_index"] // 3, mesh_id=mid,
+            joint_offset=off, n_joints=2,
+            nodes=w.meshes.bvh_nodes[mid], bvh_base=info["bvh_index"],
+        )
+    )
+    w.instances.add(np.eye(4, dtype=np.float32), mid, 0)
+    scene = w.device(with_tlas=True)
+
+    # bend 90deg: the strip's y in [1, 2] folds to x in [0, 1] at y ~ 1
+    rot = np.asarray(
+        mathx.from_translation([0, 1, 0])
+        @ mathx.from_rotation_z(np.float32(-np.pi / 2))
+        @ mathx.from_translation([0, -1, 0])
+    )
+    jm = jnp.asarray(np.stack([np.eye(4, dtype=np.float32), rot]))
+    meshes2 = apply_skins(scene.meshes, scene.skins, jm)
+    scene2 = scene.replace(
+        meshes=meshes2,
+        tlas=refit_tlas(scene.tlas, meshes2, scene.instances),
+    )
+
+    def occluded_at(s, x):
+        tlas, blas, inst, tri_pos = trav.scene_rays(s)
+        # approach from +z (the strip faces +z; triangle intersection is
+        # backface-culled, matching utils/intersections.wgsl)
+        o = jnp.asarray([[x, 0.97, 1.0]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, -2.0]], jnp.float32)
+        return bool(np.asarray(trav.occluded(
+            tlas, blas, inst, tri_pos, o, d, t_max=1.0
+        ).hit)[0])
+
+    # rest pose: strip occupies x in [-0.5, 0.5] up to y=2
+    assert occluded_at(scene, 0.0)
+    assert not occluded_at(scene, 0.9)
+    # bent pose: the upper half now lies along +x near y ~ 1
+    assert occluded_at(scene2, 0.9), "bent arm must occlude under its tip"

@@ -165,3 +165,33 @@ def test_occluded_chunked_matches_unchunked():
     assert int(a.overflow) == int(b.overflow)
     assert int(a.exhausted) == int(b.exhausted)
     assert bool(np.asarray(a.hit).any())
+
+
+def test_half_res_shadow_rays_close_to_full_res():
+    """shadow_scale=2 (documented deviation for config-5 feasibility):
+    occlusion is traced per 2x2 block and broadcast — the image must agree
+    with full-res away from shadow edges (>=90% identical pixels) and
+    differ only by the 0.5-occlusion step where it differs at all."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import voidin_tpu as vt
+    from tests.test_golden import CFG, _deferred_scene
+    from voidin_tpu.framework.renderer import Renderer
+
+    w = _deferred_scene()
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0,
+                    aspect=CFG.width / CFG.height)
+    img1 = np.asarray(Renderer(
+        w.device(with_tlas=True), CFG, enable_taa=False,
+        enable_rt_shadows=True,
+    ).render(cam))
+    img2 = np.asarray(Renderer(
+        w.device(with_tlas=True), CFG, enable_taa=False,
+        enable_rt_shadows=True, rt_shadow_scale=2,
+    ).render(cam))
+    same = (img1 == img2).all(axis=-1)
+    assert same.mean() > 0.90, same.mean()
+    # and the top-left sample of every 2x2 block is exact by construction
+    assert (img1[::2, ::2] == img2[::2, ::2]).mean() > 0.999

@@ -43,6 +43,7 @@ class Preset:
     enable_cull: bool = True
     enable_taa: bool = True
     enable_rt_shadows: bool = False
+    rt_shadow_scale: int = 1  # >1 = half/quarter-res shadow rays (flagged)
     with_tlas: bool = False
     # Capacity hints: padded ops cost by CAPACITY, not live count — each
     # preset sizes for its own worst case (validated by the overflow
@@ -197,6 +198,7 @@ def _add_clapper_arm(w: World, segments: int = 8, width: float = 0.6,
             mesh, w.meshes.indices[mid], joints, weights,
             base_tri=info["base_index"] // 3, mesh_id=mid,
             joint_offset=off, n_joints=2,
+            nodes=w.meshes.bvh_nodes[mid], bvh_base=info["bvh_index"],
         )
     )
     return mid

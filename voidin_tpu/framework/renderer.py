@@ -80,6 +80,7 @@ def render_frame(
     enable_taa: bool = True,
     enable_post: bool = True,
     enable_rt_shadows: bool = False,
+    rt_shadow_scale: int = 1,
     mesh=None,
     joint_mats=None,
 ):
@@ -99,11 +100,17 @@ def render_frame(
     )
     scene = scene.replace(instances=instances)
     if scene.skins and joint_mats is not None:
-        from ..scene.skin import apply_skins
+        from ..scene.skin import apply_skins, refit_tlas
 
         scene = scene.replace(
             meshes=apply_skins(scene.meshes, scene.skins, joint_mats)
         )
+        if scene.tlas is not None:
+            # skinned AABBs moved: re-fit the TLAS so traced shadows track
+            # the pose (BLAS refit happened inside apply_skins)
+            scene = scene.replace(
+                tlas=refit_tlas(scene.tlas, scene.meshes, scene.instances)
+            )
 
     # 2. emit_draws: frustum cull + compaction.
     if enable_cull:
@@ -114,20 +121,29 @@ def render_frame(
             instance=jnp.arange(n, dtype=jnp.int32), count=jnp.asarray(n, jnp.int32)
         )
 
-    # 3. visibility raster + G-buffer resolve.
-    vis = raster_pass.rasterize(
-        scene.meshes, scene.instances, draws, camera, config,
-        materials=scene.materials,
-    )
-    if mesh is not None:
-        vis = vis.replace(
-            tri_id=shard_mod.shard_rows(mesh, vis.tri_id),
-            depth=shard_mod.shard_rows(mesh, vis.depth),
-            tri_id2=None if vis.tri_id2 is None
-            else shard_mod.shard_rows(mesh, vis.tri_id2),
-            depth2=None if vis.depth2 is None
-            else shard_mod.shard_rows(mesh, vis.depth2),
+    # 3. visibility raster + G-buffer resolve. Multi-chip: the production
+    # Pallas raster runs row-PARTITIONED under shard_map (each device bins
+    # + rasterizes its own tile rows — parallel/sharding.py); the XLA twin
+    # path shards only the output images.
+    if mesh is not None and config.backend == "pallas":
+        vis = shard_mod.rasterize_sharded(
+            scene.meshes, scene.instances, draws, camera, config, mesh,
+            materials=scene.materials,
         )
+    else:
+        vis = raster_pass.rasterize(
+            scene.meshes, scene.instances, draws, camera, config,
+            materials=scene.materials,
+        )
+        if mesh is not None:
+            vis = vis.replace(
+                tri_id=shard_mod.shard_rows(mesh, vis.tri_id),
+                depth=shard_mod.shard_rows(mesh, vis.depth),
+                tri_id2=None if vis.tri_id2 is None
+                else shard_mod.shard_rows(mesh, vis.tri_id2),
+                depth2=None if vis.depth2 is None
+                else shard_mod.shard_rows(mesh, vis.depth2),
+            )
     gbuffer, aux_r = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
     if mesh is not None:
         gbuffer = gbuffer.replace(
@@ -138,7 +154,9 @@ def render_frame(
 
     # 4. deferred shading (HDR); optionally with TLAS-traced shadows.
     if enable_rt_shadows:
-        hdr = shading_pass.shade_raytraced(scene, gbuffer, camera, aux=aux_r)
+        hdr = shading_pass.shade_raytraced(
+            scene, gbuffer, camera, aux=aux_r, shadow_scale=rt_shadow_scale
+        )
     else:
         hdr = shading_pass.shade(scene, gbuffer, camera, aux=aux_r)
     if mesh is not None:
@@ -189,6 +207,7 @@ class Renderer:
         enable_taa: bool = True,
         enable_post: bool = True,
         enable_rt_shadows: bool = False,
+        rt_shadow_scale: int = 1,
         moving_ids: Optional[np.ndarray] = None,
         mesh=None,
         pipeline_cache=None,
@@ -226,6 +245,7 @@ class Renderer:
                     enable_taa=enable_taa,
                     enable_post=enable_post,
                     enable_rt_shadows=enable_rt_shadows,
+                    rt_shadow_scale=rt_shadow_scale,
                     mesh=mesh,
                     joint_mats=jm_,
                 )

@@ -413,6 +413,8 @@ class GltfDocument:
                             mesh_id=pool_id,
                             joint_offset=offset,
                             n_joints=n_joints,
+                            nodes=pool.bvh_nodes[pool_id],
+                            bvh_base=info["bvh_index"],
                         )
                     )
                     bound.append(si)

@@ -29,6 +29,10 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
     payload["aux_level_offset"] = np.asarray(tex.level_offset, np.int64)
     payload["aux_base_size"] = np.asarray([tex.base_size, tex.total], np.int64)
     payload["aux_has_tlas"] = np.asarray([scene.tlas is not None], bool)
+    if scene.tlas is not None:
+        payload["aux_tlas_levels"] = np.asarray(
+            scene.tlas.refit_levels, np.int64
+        ).reshape(-1, 2)
     payload["aux_flags"] = np.asarray(
         [scene.alpha_masked, scene.emissive_const, scene.mr_const,
          scene.no_normal_maps], bool
@@ -103,7 +107,15 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
     ltc1_quads = next(it)
     ltc2_quads = next(it)
     ltc12_quads = next(it)
-    tlas = take(TlasData) if has_tlas else None
+    if has_tlas:
+        lv = (
+            data["aux_tlas_levels"] if "aux_tlas_levels" in data
+            else np.zeros((0, 2), np.int64)
+        )
+        levels = tuple((int(s), int(e)) for s, e in lv)
+        tlas = take(TlasData, static=dict(refit_levels=levels))
+    else:
+        tlas = None
     flags = (
         [bool(x) for x in data["aux_flags"]]
         if "aux_flags" in data

@@ -274,7 +274,7 @@ def fine_raster_pairs(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((tiles_per_step, 2, KREC_F, CHUNK), jnp.float32),

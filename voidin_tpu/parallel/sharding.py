@@ -52,3 +52,98 @@ def replicated(mesh: Optional[Mesh], tree):
     return jax.tree_util.tree_map(
         lambda a: jax.lax.with_sharding_constraint(a, sharding), tree
     )
+
+
+def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
+                      materials=None):
+    """Row-PARTITIONED production raster under `shard_map`: each device
+    bins and fine-rasterizes ONLY its own tile rows with the Pallas kernel
+    (sort-middle parallel rasterization). Per-device raster work is 1/N by
+    construction: binning clamps every triangle's tile-bbox to the
+    device's tile-row slab (local pair stream + local sort), and the fine
+    raster runs over NT/N tiles.
+
+    Triangle setup stays replicated (each device transforms the full
+    triangle list — its output feeds every slab a triangle touches; at
+    1080p the per-pixel stages dominate, see README). Returns a VisBuffer
+    whose images are row-sharded across the mesh.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import fine_raster as fr
+    from ..passes import raster as raster_pass
+
+    n_dev = mesh.devices.size
+    TY, TX = config.tiles_y, config.tiles_x
+    if TY % n_dev:
+        raise ValueError(
+            f"tiles_y={TY} must divide evenly across {n_dev} devices "
+            f"(pad height to a multiple of {config.tile_h * n_dev})"
+        )
+    rows_per = TY // n_dev
+    NT_local = -(-(rows_per * TX) // config.tiles_per_step) * (
+        config.tiles_per_step
+    )
+    track2 = config.alpha_mask
+
+    setup = raster_pass.triangle_setup(
+        meshes, instances, draws, camera, config, materials=materials
+    )
+
+    def body(setup_):
+        d = jax.lax.axis_index(ROW_AXIS)
+        ty_lo = d * rows_per
+        rec_sorted, starts, counts, overflow = (
+            raster_pass.bin_triangles_pairs(
+                setup_, config, ty_range=(ty_lo, rows_per)
+            )
+        )
+        outs = fr.fine_raster_pairs(
+            rec_sorted, starts, counts,
+            tiles_x=TX,
+            tiles_per_step=config.tiles_per_step,
+            interpret=config.interpret,
+            track2=track2,
+        )
+
+        def untile(a):
+            n_local = rows_per * TX
+            return (
+                a.reshape(a.shape[0], -1)[:n_local]
+                .reshape(rows_per, TX, config.tile_h, config.tile_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(rows_per * config.tile_h, TX * config.tile_w)
+            )
+
+        depth = untile(outs[0])
+        tri_id = untile(outs[1]).astype(jnp.int32)
+        overflow = jax.lax.psum(overflow, ROW_AXIS)
+        if track2:
+            return (depth, tri_id, overflow, untile(outs[2]),
+                    untile(outs[3]).astype(jnp.int32))
+        return depth, tri_id, overflow
+
+    row_spec = P(ROW_AXIS, None)
+    out_specs = (
+        (row_spec, row_spec, P(), row_spec, row_spec)
+        if track2 else (row_spec, row_spec, P())
+    )
+    outs = shard_map(
+        body, mesh=mesh, in_specs=(P(),), out_specs=out_specs,
+        check_rep=False,
+    )(setup)
+
+    H, W = config.height, config.width
+    depth, tri_id, bin_overflow = outs[0], outs[1], outs[2]
+    tri_id2 = depth2 = None
+    if track2:
+        depth2, tri_id2 = outs[3][:H, :W], outs[4][:H, :W]
+    return raster_pass.VisBuffer(
+        tri_id=tri_id[:H, :W],
+        depth=depth[:H, :W],
+        resolve_rec=setup["resolve_rec"],
+        overflow=bin_overflow + setup["setup_overflow"],
+        tri_id2=tri_id2,
+        depth2=depth2,
+    )

@@ -413,13 +413,17 @@ def triangle_setup(
 # ---------------------------------------------------------------------------
 
 
-def bake_tile_origin(rec, tiles, config: RasterConfig):
+def bake_tile_origin(rec, tiles, config: RasterConfig, row_px_offset=0):
     """Re-base record b coefficients from the per-triangle anchor frame to
     each pair's tile origin: the kernels then evaluate edges/depth with
     tile-LOCAL pixel coordinates only. b' = b + ax*(tx0 - anchor_x) +
-    ay*(ty0 - anchor_y); products stay at triangle/tile magnitude."""
+    ay*(ty0 - anchor_y); products stay at triangle/tile magnitude.
+    `row_px_offset`: global pixel row of tile 0 (device-local tile ids in
+    the sharded raster)."""
     tx0 = ((tiles % config.tiles_x) * config.tile_w).astype(jnp.float32)
-    ty0 = ((tiles // config.tiles_x) * config.tile_h).astype(jnp.float32)
+    ty0 = (
+        (tiles // config.tiles_x) * config.tile_h + row_px_offset
+    ).astype(jnp.float32)
     offx = tx0 - rec[..., fr.F_ANCHOR]
     offy = ty0 - rec[..., fr.F_ANCHOR + 1]
     out = rec
@@ -507,7 +511,7 @@ def bin_triangles(setup: dict, config: RasterConfig):
 # ---------------------------------------------------------------------------
 
 
-def bin_triangles_pairs(setup: dict, config: RasterConfig):
+def bin_triangles_pairs(setup: dict, config: RasterConfig, ty_range=None):
     """Pair-centric binning: tile-sorted records + per-tile ranges, no
     per-tile capacity (feeds ops/fine_raster.fine_raster_pairs).
 
@@ -516,9 +520,21 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     tools/microbench_scans.py): every triangle's FIRST tile is a direct
     1:1 slot (no expansion at all); only multi-tile triangles (~15% of a
     typical scene) are compacted by a sort and expanded at
-    pair_capacity/4 scale, cutting the expansion scans 4x."""
+    pair_capacity/4 scale, cutting the expansion scans 4x.
+
+    `ty_range=(ty_lo, rows)`: bin only the `rows` tile-rows starting at
+    tile-row `ty_lo` (ty_lo may be traced — the sharded raster passes
+    `jax.lax.axis_index`). Tile ids in the output are LOCAL to the range;
+    record b coefficients are still baked to GLOBAL pixel origins."""
     TX, TY = config.tiles_x, config.tiles_y
-    NT = config.n_tiles_padded
+    if ty_range is None:
+        NT = config.n_tiles_padded
+        ty_lo, row_px_offset = 0, 0
+    else:
+        ty_lo, local_rows = ty_range
+        s = config.tiles_per_step
+        NT = -(-(local_rows * TX) // s) * s
+        row_px_offset = ty_lo * config.tile_h
     EB = config.pair_capacity // 4  # extra-pair stream capacity
 
     sx, sy, alive = setup["sx"], setup["sy"], setup["alive"]
@@ -533,6 +549,11 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     tx1 = jnp.clip(x1.astype(jnp.int32) // config.tile_w, 0, TX - 1)
     ty0 = jnp.clip(y0.astype(jnp.int32) // config.tile_h, 0, TY - 1)
     ty1 = jnp.clip(y1.astype(jnp.int32) // config.tile_h, 0, TY - 1)
+    if ty_range is not None:
+        # clamp to this device's tile rows; rebase to local row 0
+        ty0 = jnp.maximum(ty0, ty_lo) - ty_lo
+        ty1 = jnp.minimum(ty1, ty_lo + local_rows - 1) - ty_lo
+        alive = alive & (ty1 >= ty0)
     bw = tx1 - tx0 + 1
     n_pairs = jnp.where(alive, bw * (ty1 - ty0 + 1), 0)
     bbox_rec = jnp.stack([tx0, ty0, bw], axis=-1)
@@ -594,7 +615,9 @@ def bin_triangles_pairs(setup: dict, config: RasterConfig):
     else:
         tile_sorted, tri_sorted = jax.lax.sort_key_val(tile, tri)
         rec_sorted = setup["raster_rec"][tri_sorted]  # (E, 16), tile order
-    rec_sorted = bake_tile_origin(rec_sorted, tile_sorted, config)
+    rec_sorted = bake_tile_origin(
+        rec_sorted, tile_sorted, config, row_px_offset=row_px_offset
+    )
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(NT + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)

@@ -110,6 +110,15 @@ def sample_lut_bilinear_mxu_multi(tables, uv: jnp.ndarray):
     # materialization an einsum formulation would create.
     wy_flat = wy.reshape(-1, h)
     out = []
+    if LTC_LUT_BF16:
+        wy_flat = wy_flat.astype(jnp.bfloat16)
+        for t in tables:
+            rows = jnp.matmul(
+                wy_flat, t.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).reshape(uv.shape[:-1] + (w,))
+            out.append(jnp.sum(rows * wx, axis=-1))
+        return out
     for t in tables:
         rows = jnp.matmul(
             wy_flat, t, precision=jax.lax.Precision.HIGHEST
@@ -141,6 +150,13 @@ def integrate_edge(v1, v2):
 # Evaluate the ltc12 matrix fetch on the MXU instead of per-pixel gathers
 # (A/B-measured on the north-star scene; flip for experiments).
 LTC12_MXU = True
+
+# Build the two-tap bilinear weight matrices in bf16 (halves the HBM
+# traffic of the (P, 64) intermediates that dominate the LUT-on-MXU cost;
+# LUT values are O(1) and smooth, so bf16 weights cost ~1e-3 absolute —
+# under the 1e-2 image budget). Off until A/B-measured on TPU
+# (tools/bisect_shade.py).
+LTC_LUT_BF16 = False
 
 
 def ltc_matrix(scene: SceneData, nor, view, roughness):
@@ -384,7 +400,7 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None,
 
 def shade_raytraced(
     scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512,
-    ray_chunk=1 << 16, aux=None,
+    ray_chunk=1 << 16, aux=None, shadow_scale=1,
 ) -> jnp.ndarray:
     """Deferred shading with TLAS-traced point-light shadows.
 
@@ -393,6 +409,13 @@ def shade_raytraced(
     pos + 0.0001*normal toward the light (t_max = 1 in light-vector units),
     occlusion 0.5 on hit, attenuation applied to (diff + spec) * occlusion.
     Requires scene.tlas (built at setup like the reference, app.rs:253).
+
+    `shadow_scale=s` (a DOCUMENTED deviation, off by default): trace one
+    shadow ray per s*s pixel block (the block's top-left sample) and
+    broadcast the occlusion — an s^2 ray-count reduction for scenes where
+    the lock-step traversal dominates (BASELINE config 5 at 1080p traces
+    ~2M rays at full res). Shadow edges coarsen to s pixels; shading,
+    attenuation and visibility remain full-res.
     """
     from ..rt import traverse as trav
 
@@ -424,20 +447,39 @@ def shade_raytraced(
         light_vec = lpos - pos
         dist = jnp.linalg.norm(light_vec, axis=-1)
 
-        origins = (pos + nor * 1e-4).reshape(-1, 3)
-        dirs = light_vec.reshape(-1, 3)
-        occ_hit = trav.occluded(
-            tlas,
-            blas,
-            inst,
-            tri_pos,
-            origins,
-            dirs,
-            t_max=1.0,
-            max_steps=max_steps,
-            active=shadable.reshape(-1),
-            chunk_size=ray_chunk,
-        ).hit.reshape(H, W)
+        if shadow_scale > 1:
+            s = shadow_scale
+            pos_s = pos[::s, ::s]
+            nor_s = nor[::s, ::s]
+            lv_s = lpos - pos_s
+            hs, ws = pos_s.shape[:2]
+            occ_small = trav.occluded(
+                tlas, blas, inst, tri_pos,
+                (pos_s + nor_s * 1e-4).reshape(-1, 3),
+                lv_s.reshape(-1, 3),
+                t_max=1.0,
+                max_steps=max_steps,
+                active=shadable[::s, ::s].reshape(-1),
+                chunk_size=ray_chunk,
+            ).hit.reshape(hs, ws)
+            occ_hit = jnp.repeat(
+                jnp.repeat(occ_small, s, axis=0), s, axis=1
+            )[:H, :W]
+        else:
+            origins = (pos + nor * 1e-4).reshape(-1, 3)
+            dirs = light_vec.reshape(-1, 3)
+            occ_hit = trav.occluded(
+                tlas,
+                blas,
+                inst,
+                tri_pos,
+                origins,
+                dirs,
+                t_max=1.0,
+                max_steps=max_steps,
+                active=shadable.reshape(-1),
+                chunk_size=ray_chunk,
+            ).hit.reshape(H, W)
         occlusion = jnp.where(occ_hit, 0.5, 1.0)
 
         atten = attenuation(1.0, 1.0, dist, lrad)
@@ -457,6 +499,200 @@ def shade_raytraced(
         ((material_id == 0) & (depth > 0.0))[..., None], magenta, color
     )
     return jnp.maximum(color, 0.0)
+
+
+def _solve_cubic(c0, c1, c2, c3=1.0):
+    """Real roots of c3 x^3 + c2 x^2 + c1 x + c0, vectorized/branchless.
+
+    The numerically-robust split-algorithm form (Blinn / Peters, "How to
+    solve a cubic equation, revisited", momentsingraphics.de/?p=105) that
+    the reference's clipped-disk LTC uses (src/bin/ring_light.wgsl:101-187):
+    the largest root from algorithm A, the smallest from algorithm D, the
+    middle from their product — each as a homogeneous (num, den) pair.
+    Returns (smallest-ish triple ordered so [1] is the middle root used by
+    the disk form factor, matching the reference's partial sort)."""
+    B = c2 / c3 / 3.0
+    C = c1 / c3 / 3.0
+    D = c0 / c3
+    # Hessian + discriminant
+    d1 = C - B * B
+    d2 = D - C * B
+    d3 = B * D - C * C
+    disc = jnp.maximum(4.0 * d1 * d3 - d2 * d2, 0.0)
+    sq_disc = jnp.sqrt(disc)
+
+    # Algorithm A (largest root)
+    d_a = -2.0 * B * d1 + d2
+    theta_a = jnp.arctan2(sq_disc, -d_a) / 3.0
+    sc_a = 2.0 * jnp.sqrt(jnp.maximum(-d1, 0.0))
+    x1a = sc_a * jnp.cos(theta_a)
+    x3a = sc_a * jnp.cos(theta_a + 2.0 * jnp.pi / 3.0)
+    xl = jnp.where(x1a + x3a > 2.0 * B, x1a, x3a)
+    xlc = jnp.stack([xl - B, jnp.ones_like(xl) * c3], axis=-1)
+
+    # Algorithm D (smallest root)
+    d_d = -D * d2 + 2.0 * C * d3
+    theta_d = jnp.arctan2(D * sq_disc, -d_d) / 3.0
+    sc_d = 2.0 * jnp.sqrt(jnp.maximum(-d3, 0.0))
+    x1d = sc_d * jnp.cos(theta_d)
+    x3d = sc_d * jnp.cos(theta_d + 2.0 * jnp.pi / 3.0)
+    xs = jnp.where(x1d + x3d < 2.0 * C, x1d, x3d)
+    xsc = jnp.stack([-D, xs + C], axis=-1)
+
+    e = xlc[..., 1] * xsc[..., 1]
+    f = -xlc[..., 0] * xsc[..., 1] - xlc[..., 1] * xsc[..., 0]
+    g = xlc[..., 0] * xsc[..., 0]
+    xmc = jnp.stack([C * f - B * g, -B * f + C * e], axis=-1)
+
+    def div(pair):
+        d = pair[..., 1]
+        d = jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+        return pair[..., 0] / d
+
+    rx, ry, rz = div(xsc), div(xmc), div(xlc)
+    # partial sort (ring_light.wgsl:178-184): ensure [1] is the middle
+    x_small = (rx < ry) & (rx < rz)
+    z_small = (rz < rx) & (rz < ry)
+    r0 = jnp.where(x_small, ry, rx)
+    r1 = jnp.where(x_small, rx, jnp.where(z_small, rz, ry))
+    r2 = jnp.where(z_small, ry, rz)
+    return r0, r1, r2
+
+
+def ltc_evaluate_disk(scene: SceneData, nor, view, pos, mminv, points3,
+                      two_sided=False):
+    """EXACT clipped-disk (ellipse) LTC evaluation — the analytic sphere
+    form factor of the cosine-space ellipse, replacing any polygonal
+    approximation (port of ltc_evaluate_ring, ring_light.wgsl:189-305:
+    ellipse eigen-decomposition + cubic solve + tabulated horizon-clipped
+    sphere). points3: (3, 3) three corners of the disk's bounding rect
+    (-ex-ey, +ex-ey, +ex+ey); pixel fields (..., 3)."""
+    t1v = _normalize(view - nor * jnp.sum(view * nor, axis=-1, keepdims=True))
+    t2v = jnp.cross(nor, t1v)
+    basis = jnp.stack([t1v, t2v, nor], axis=-2)  # rows T1, T2, N
+    minv = fastmath.mat3_mat3(mminv, basis)
+
+    rel = points3[..., None, :, :] - pos[..., None, :]  # (..., 3, 3)
+    l0 = fastmath.mat3_vec(minv, rel[..., 0, :])
+    l1 = fastmath.mat3_vec(minv, rel[..., 1, :])
+    l2 = fastmath.mat3_vec(minv, rel[..., 2, :])
+
+    c = 0.5 * (l0 + l2)
+    v1 = 0.5 * (l1 - l2)
+    v2 = 0.5 * (l1 - l0)
+
+    front = jnp.sum(jnp.cross(v1, v2) * c, axis=-1) >= 0.0
+    occlusion = (
+        jnp.ones_like(front, jnp.float32) if two_sided
+        else front.astype(jnp.float32)
+    )
+
+    d11 = jnp.sum(v1 * v1, axis=-1)
+    d22 = jnp.sum(v2 * v2, axis=-1)
+    d12 = jnp.sum(v1 * v2, axis=-1)
+    skew = jnp.abs(d12) / jnp.sqrt(jnp.maximum(d11 * d22, 1e-20)) > 1e-4
+
+    # Eigen-decomposition branch (branchless: both paths, then select).
+    tr = d11 + d22
+    det = jnp.sqrt(jnp.maximum(d11 * d22 - d12 * d12, 0.0))
+    u = 0.5 * jnp.sqrt(jnp.maximum(tr - 2.0 * det, 0.0))
+    w = 0.5 * jnp.sqrt(jnp.maximum(tr + 2.0 * det, 0.0))
+    e_max = (u + w) ** 2
+    e_min = (u - w) ** 2
+    big11 = (d11 > d22)[..., None]
+    v1e = jnp.where(
+        big11,
+        d12[..., None] * v1 + (e_max - d11)[..., None] * v2,
+        d12[..., None] * v2 + (e_max - d22)[..., None] * v1,
+    )
+    v2e = jnp.where(
+        big11,
+        d12[..., None] * v1 + (e_min - d11)[..., None] * v2,
+        d12[..., None] * v2 + (e_min - d22)[..., None] * v1,
+    )
+    a_e = 1.0 / jnp.maximum(e_max, 1e-20)
+    b_e = 1.0 / jnp.maximum(e_min, 1e-20)
+    # Aligned branch
+    a_s = 1.0 / jnp.maximum(d11, 1e-20)
+    b_s = 1.0 / jnp.maximum(d22, 1e-20)
+
+    a = jnp.where(skew, a_e, a_s)
+    b = jnp.where(skew, b_e, b_s)
+    sk = skew[..., None]
+    v1 = jnp.where(sk, _normalize(v1e), v1 * jnp.sqrt(a_s)[..., None])
+    v2 = jnp.where(sk, _normalize(v2e), v2 * jnp.sqrt(b_s)[..., None])
+
+    v3 = jnp.cross(v1, v2)
+    flip = (jnp.sum(c * v3, axis=-1) < 0.0)[..., None]
+    v3 = jnp.where(flip, -v3, v3)
+
+    ll = jnp.sum(v3 * c, axis=-1)
+    ll_safe = jnp.where(jnp.abs(ll) > 1e-20, ll, 1e-20)
+    x0 = jnp.sum(v1 * c, axis=-1) / ll_safe
+    y0 = jnp.sum(v2 * c, axis=-1) / ll_safe
+
+    a = a * ll * ll
+    b = b * ll * ll
+
+    c0 = a * b
+    c1 = a * b * (1.0 + x0 * x0 + y0 * y0) - a - b
+    c2 = 1.0 - a * (1.0 + x0 * x0) - b * (1.0 + y0 * y0)
+    e1, e2, e3 = _solve_cubic(c0, c1, c2)
+
+    avg = jnp.stack(
+        [
+            a * x0 / jnp.where(jnp.abs(a - e2) > 1e-20, a - e2, 1e-20),
+            b * y0 / jnp.where(jnp.abs(b - e2) > 1e-20, b - e2, 1e-20),
+            jnp.ones_like(x0),
+        ],
+        axis=-1,
+    )
+    # rotate = columns (V1, V2, V3): avg_world = V1*ax + V2*ay + V3*az
+    avg_dir = _normalize(
+        v1 * avg[..., 0:1] + v2 * avg[..., 1:2] + v3 * avg[..., 2:3]
+    )
+
+    l1f = jnp.sqrt(jnp.maximum(-e2 / jnp.where(
+        jnp.abs(e3) > 1e-20, e3, 1e-20), 0.0))
+    l2f = jnp.sqrt(jnp.maximum(-e2 / jnp.where(
+        jnp.abs(e1) > 1e-20, e1, 1e-20), 0.0))
+    form = l1f * l2f / jnp.sqrt((1.0 + l1f * l1f) * (1.0 + l2f * l2f))
+
+    uv = jnp.stack([avg_dir[..., 2] * 0.5 + 0.5, form], axis=-1)
+    uv = uv * LUT_SCALE + LUT_BIAS
+    scale = sample_lut_bilinear_mxu(scene.ltc2[..., 3], uv)
+    return form * scale * occlusion
+
+
+def disk_points3(center, dirx, diry, halfx, halfy):
+    """(3, 3) corner triple (-ex-ey, +ex-ey, +ex+ey) of a disk's bounding
+    rect (init_disk_points, ring_light.wgsl:69-80), host-side numpy."""
+    import numpy as np
+
+    center = np.asarray(center, np.float32)
+    ex = float(halfx) * np.asarray(dirx, np.float32)
+    ey = float(halfy) * np.asarray(diry, np.float32)
+    return np.stack([center - ex - ey, center + ex - ey, center + ex + ey])
+
+
+def ltc_evaluate_ring2(scene: SceneData, nor, view, pos, mminv,
+                       center, dirx, diry, halfx, halfy, two_sided=False):
+    """Annulus = full disk minus a shrunk inner disk (ltc_evaluate_ring2,
+    ring_light.wgsl:307-321: the outer disk is the UN-grown `disk` — the
+    grown disk1 is dead code in the reference — and the inner shrinks by
+    clamp(0.5, 0.05, 0.95*half))."""
+    import numpy as np
+
+    r, eps = 0.5, 0.05
+    dx = float(np.clip(r, eps, 0.95 * halfx))
+    dy = float(np.clip(r, eps, 0.95 * halfy))
+    p_out = jnp.asarray(disk_points3(center, dirx, diry, halfx, halfy))
+    p_in = jnp.asarray(
+        disk_points3(center, dirx, diry, halfx - dx, halfy - dy)
+    )
+    return ltc_evaluate_disk(
+        scene, nor, view, pos, mminv, p_out, two_sided
+    ) - ltc_evaluate_disk(scene, nor, view, pos, mminv, p_in, two_sided)
 
 
 def ltc_evaluate_polygon(scene: SceneData, nor, view, pos, mminv, points,
@@ -522,11 +758,23 @@ def ring_points(center, normal_dir, radius, n=16):
 
 
 def shade_ring_light(scene: SceneData, gbuffer: GBuffer, camera,
-                     ring_center, ring_normal, r_outer, r_inner,
-                     color=(1.0, 1.0, 1.0), intensity=4.0, albedo=None,
-                     segments=16):
-    """Deferred shading with one LTC ring light (ring_light demo parity:
-    annulus = outer disk minus inner disk)."""
+                     disk_center=(-3.0, 3.5, 10.0),
+                     disk_dirx=(1.0, 0.0, 0.0), disk_diry=(0.0, 1.0, 0.0),
+                     halfx=3.0, halfy=3.0, roughness=0.3, two_sided=True,
+                     albedo=None):
+    """Deferred shading with one LTC ring light — exact port of the
+    ring_light demo FS (src/bin/ring_light.wgsl:340-440):
+
+    * the pixel ray (from the shaded point TOWARD the camera — a reference
+      quirk, kept) is intersected with the disk plane; hits inside the
+      annulus band 0.7 < (x/hx)^2+(y/hy)^2 <= 1 render as the emitter;
+    * material 0 renders as flat 0.13 grey, LIGHT_MATERIAL as
+      albedo + emissive;
+    * spec = ltc_evaluate_ring2 (full disk minus shrunk disk) * t2.x with
+      the fitted Minv at fixed roughness 0.3; diffuse = ltc_evaluate_ring
+      of the FULL disk with the identity matrix (the reference's diffuse
+      is the whole disk, not the annulus);
+    * color = spec + diffuse (scolor = dcolor = 1; albedo unused)."""
     import numpy as np
 
     depth = gbuffer.depth
@@ -539,29 +787,56 @@ def shade_ring_light(scene: SceneData, gbuffer: GBuffer, camera,
     lod = uv_lod(uv, sizes[..., 0], sizes[..., 1])
     if albedo is None:
         albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
-    mr = sample_trilinear(
-        scene.textures, mats.metallic_roughness[material_id], uv, lod
-    )
+    emissive = sample_trilinear(
+        scene.textures, mats.emissive[material_id], uv, lod
+    )[..., :3]
     pos = world_position_from_depth(depth, camera.clip_to_world)
     rd = _normalize(jnp.asarray(camera.position)[:3] - pos)
 
-    outer = jnp.asarray(ring_points(ring_center, ring_normal, r_outer, segments))
-    inner = jnp.asarray(ring_points(ring_center, ring_normal, r_inner, segments))
+    center = np.asarray(disk_center, np.float32)
+    dirx = np.asarray(disk_dirx, np.float32)
+    diry = np.asarray(disk_diry, np.float32)
+    dn = np.cross(dirx, diry)
 
-    roughness = jnp.clip(mr[..., 0], 0.0, 1.0)
-    minv, _t1, t2 = ltc_matrix(scene, nor, rd, roughness)
+    rough = jnp.full(depth.shape, float(roughness), jnp.float32)
+    minv, _t1, t2 = ltc_matrix(scene, nor, rd, rough)
     identity = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), minv.shape)
 
-    def annulus(mat):
-        return ltc_evaluate_polygon(
-            scene, nor, rd, pos, mat, outer
-        ) - ltc_evaluate_polygon(scene, nor, rd, pos, mat, inner)
+    spec = ltc_evaluate_ring2(
+        scene, nor, rd, pos, minv, center, dirx, diry, halfx, halfy,
+        two_sided=two_sided,
+    ) * t2[..., 0]
+    diff = ltc_evaluate_disk(
+        scene, nor, rd, pos, identity,
+        jnp.asarray(disk_points3(center, dirx, diry, halfx, halfy)),
+        two_sided=two_sided,
+    )
+    lit = jnp.maximum(spec + diff, 0.0)[..., None] * jnp.ones(
+        (3,), jnp.float32
+    )
 
-    diff = jnp.maximum(annulus(identity), 0.0)
-    spec = jnp.maximum(annulus(minv), 0.0) * t2[..., 0]
+    # ray_disc_intersect (ring_light.wgsl:82-98) with Ray2(pos, rd)
+    plane_n = jnp.asarray(dn)
+    denom = jnp.sum(rd * plane_n, axis=-1)
+    t_hit = -(jnp.sum(pos * plane_n, axis=-1) - float(np.dot(dn, center))) / (
+        jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    )
+    hit_p = pos + rd * t_hit[..., None]
+    lp = hit_p - jnp.asarray(center)
+    hx = jnp.sum(lp * jnp.asarray(dirx), axis=-1) / halfx
+    hy = jnp.sum(lp * jnp.asarray(diry), axis=-1) / halfy
+    ab = hx * hx + hy * hy
+    disk_hit = (t_hit > 0.0) & (ab >= 0.7) & (ab <= 1.0)
 
-    lcol = jnp.asarray(color, jnp.float32)
-    shaded = lcol * intensity * (spec[..., None] + albedo[..., :3] * diff[..., None])
-    ambient = albedo[..., :3] * 0.01
-    out = jnp.where((depth > 0)[..., None], ambient + shaded, 0.0)
+    out = jnp.where(
+        (material_id == 0)[..., None],
+        jnp.asarray([0.13, 0.13, 0.13], jnp.float32),
+        lit,
+    )
+    out = jnp.where(
+        (material_id == LIGHT_MATERIAL)[..., None],
+        albedo[..., :3] + emissive,
+        out,
+    )
+    out = jnp.where(disk_hit[..., None], albedo[..., :3] + emissive, out)
     return jnp.maximum(out, 0.0)

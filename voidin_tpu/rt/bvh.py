@@ -456,3 +456,98 @@ def brute_force_closest(vertices, indices, origin, direction, t_max=float(MAX_DI
         )
         t_hit = min(t_hit, float(t))
     return t_hit
+
+
+# ---------------------------------------------------------------------------
+# Refit plans (host): level-ordered index arrays for in-jit bottom-up AABB
+# refit over FIXED topology. Skinned geometry moves every frame; rebuilding
+# a BVH inside a jit is impossible (data-dependent structure), but a refit
+# is just per-level gathers + one scatter — TPU-friendly. (Beyond reference
+# parity: the wgpu renderer has no skinning and never refits;
+# scene/skin.py:16-19 documented the rest-pose shadow limitation this
+# removes.)
+# ---------------------------------------------------------------------------
+
+
+def blas_refit_plan(nodes: np.ndarray) -> dict:
+    """Level-ordered refit arrays for one NODE_DTYPE BLAS (deepest first).
+
+    Returns dict(order (B,) local node ids, leaf_tri (B, C) local triangle
+    ids (-1 pad; internal rows all -1), child (B,) local left-child id
+    (-1 for leaves), levels: tuple of (start, end) slices into order)."""
+    B = len(nodes)
+    count = nodes["count"].astype(np.int64)
+    left = nodes["left_first"].astype(np.int64)
+    depth = np.zeros(B, np.int64)
+    reachable = np.zeros(B, bool)
+    reachable[0] = True
+    # BFS from root 0; children of internal node n are (left, left+1).
+    # Slot 1 is deliberately empty in the reference layout (blas.rs:90) and
+    # other slots can be unused — only REACHABLE nodes enter the plan.
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            if count[n] == 0:
+                for c in (left[n], left[n] + 1):
+                    depth[c] = depth[n] + 1
+                    reachable[c] = True
+                    nxt.append(int(c))
+        frontier = nxt
+    ids = np.nonzero(reachable)[0]
+    order = ids[np.argsort(-depth[ids], kind="stable")].astype(np.int32)
+    R = len(order)
+    cmax = max(int(count[reachable].max()), 1)
+    leaf_tri = np.full((R, cmax), -1, np.int32)
+    child = np.full(R, -1, np.int32)
+    for row, n in enumerate(order):
+        if count[n] > 0:
+            leaf_tri[row, : count[n]] = left[n] + np.arange(count[n])
+        else:
+            child[row] = left[n]
+    levels = []
+    d_sorted = depth[order]
+    start = 0
+    for i in range(1, R + 1):
+        if i == R or d_sorted[i] != d_sorted[start]:
+            levels.append((start, i))
+            start = i
+    return dict(order=order, leaf_tri=leaf_tri, child=child,
+                levels=tuple(levels))
+
+
+def tlas_refit_plan(nodes: np.ndarray) -> dict:
+    """Level-ordered refit arrays for a TLAS_DTYPE array (deepest first).
+
+    Returns dict(order (B,) node ids, child (B, 2) (-1 for leaves),
+    instance (B,) instance id (-1 for internal), levels tuple)."""
+    B = len(nodes)
+    lr = nodes["left_right"].astype(np.int64)
+    inst = nodes["instance_idx"].astype(np.int64)
+    depth = np.zeros(B, np.int64)
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            if lr[n] != 0:
+                for c in (lr[n] & 0xFFFF, lr[n] >> 16):
+                    depth[c] = depth[n] + 1
+                    nxt.append(int(c))
+        frontier = nxt
+    order = np.argsort(-depth, kind="stable").astype(np.int32)
+    child = np.full((B, 2), -1, np.int32)
+    instance = np.full(B, -1, np.int32)
+    for row, n in enumerate(order):
+        if lr[n] == 0:
+            instance[row] = inst[n]
+        else:
+            child[row] = (lr[n] & 0xFFFF, lr[n] >> 16)
+    levels = []
+    d_sorted = depth[order]
+    start = 0
+    for i in range(1, B + 1):
+        if i == B or d_sorted[i] != d_sorted[start]:
+            levels.append((start, i))
+            start = i
+    return dict(order=order, child=child, instance=instance,
+                levels=tuple(levels))

@@ -31,6 +31,14 @@ class TlasData:
     tlas_max: jnp.ndarray  # (B, 3) f32
     tlas_left_right: jnp.ndarray  # (B,) uint32 (lo16 left, hi16 right; 0 = leaf)
     tlas_instance: jnp.ndarray  # (B,) int32
+    # In-jit refit plan (rt/bvh.py tlas_refit_plan): level-ordered node ids
+    # (deepest first), children (-1 = leaf), leaf instance ids. Lets frames
+    # with skinned geometry re-fit instance world AABBs bottom-up without
+    # rebuilding the topology.
+    refit_order: jnp.ndarray = struct.field(default=None)  # (B,) i32
+    refit_child: jnp.ndarray = struct.field(default=None)  # (B, 2) i32
+    refit_instance: jnp.ndarray = struct.field(default=None)  # (B,) i32
+    refit_levels: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -111,6 +119,7 @@ class World:
             inst_h["mesh_id"],
         )
         nodes = bvh_mod.build_tlas(imin, imax)
+        plan = bvh_mod.tlas_refit_plan(nodes)
         return TlasData(
             tlas_min=jnp.asarray(np.ascontiguousarray(nodes["min"])),
             tlas_max=jnp.asarray(np.ascontiguousarray(nodes["max"])),
@@ -118,6 +127,10 @@ class World:
             tlas_instance=jnp.asarray(
                 np.ascontiguousarray(nodes["instance_idx"]).astype(np.int64)
             ).astype(jnp.int32),
+            refit_order=jnp.asarray(plan["order"]),
+            refit_child=jnp.asarray(plan["child"]),
+            refit_instance=jnp.asarray(plan["instance"]),
+            refit_levels=plan["levels"],
         )
 
     def any_alpha_mask(self) -> bool:

