@@ -374,6 +374,42 @@ def test_lazy_alpha_fallback_overflow_counter():
     assert int(aux.overflow) > 0
 
 
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_alpha_quad_diagonal_tie_reveals_backdrop(backend):
+    """Tie-collapse semantics (deliberate): along a masked quad's diagonal
+    both of its triangles produce bit-equal depths; the runner-up must be
+    the geometry BEHIND the quad, not the quad's own cut twin — otherwise
+    the single fallback level exhausts and background leaks through the
+    hole. (An id-aware tie-break was tried in round 3 and regressed exactly
+    this; see ops/fine_raster.py.)"""
+    import dataclasses
+
+    from voidin_tpu.passes import resolve
+
+    w, mat_mask, mat_solid = _alpha_scene()
+    scene = w.device()
+    cfg = dataclasses.replace(CFG, alpha_mask=True, backend=backend)
+    cam = _alpha_camera(cfg.width / cfg.height)
+    draws = cull.DrawList(
+        instance=jnp.arange(scene.instances.count, dtype=jnp.int32),
+        count=jnp.int32(scene.instances.count),
+    )
+    vis = raster.rasterize(
+        scene.meshes, scene.instances, draws, cam, cfg,
+        materials=scene.materials,
+    )
+    # center pixel sits ON the quad diagonal: winner and its twin tie
+    cy, cx = cfg.height // 2, cfg.width // 2
+    d1 = float(np.asarray(vis.depth)[cy, cx])
+    assert d1 > 0.0
+    # the runner-up is NOT at the winner's depth (tie collapsed): it is
+    # the backdrop behind the quad
+    d2 = float(np.asarray(vis.depth2)[cy, cx])
+    assert d2 < d1  # reverse-Z: farther
+    gb, _aux = resolve.resolve_gbuffer(scene, vis, cam, cfg)
+    assert np.asarray(gb.material)[cy, cx] == mat_solid
+
+
 def test_alpha_mask_off_keeps_legacy_semantics():
     """Without alpha_mask the cut pixel maps to background (the documented
     round-1 deviation) — guards the default path's behavior."""

@@ -201,11 +201,16 @@ def _kernel_pairs(
                     return nbd, nbi
                 # Runner-up among DISTINCT triangles: within-chunk 2nd
                 # place (mask the argmax sublanes), then a sorted-pair
-                # merge with the running (best, second). Known limitation:
-                # an exact depth TIE between distinct triangles collapses
-                # (the equal-depth record is masked with the winner), so a
-                # coplanar duplicate exactly at the winner's depth is not
-                # tracked as the alpha-cutoff fallback.
+                # merge with the running (best, second). Deliberate: ALL
+                # records at the winner's depth are masked, not just the
+                # winner's id. An id-aware tie-break was tried (round 3)
+                # and is WRONG for the dominant tie source — a quad's own
+                # two triangles meet along the diagonal at bit-equal
+                # depth, and the surviving twin is cut at the same texel,
+                # exhausting the single fallback level and leaking
+                # background. Collapsing ties instead falls through to the
+                # geometry BEHIND the quad (correct); the cost is the
+                # pathological coplanar-duplicate-cutout case, documented.
                 c2 = jnp.where(cand == gmax, -1.0, cand)
                 g2 = jnp.max(c2, axis=0, keepdims=True)
                 g2id = jnp.max(
