@@ -430,3 +430,31 @@ def test_alpha_mask_off_keeps_legacy_semantics():
     gb, _ = resolve.resolve_gbuffer(scene, vis, cam, CFG)
     cy, cx = CFG.height // 2, CFG.width // 2
     assert np.asarray(gb.depth)[cy, cx] == 0.0  # hole -> background
+
+
+def test_fused_resolve_rec_matches_default():
+    """fused_resolve_rec=True (attr row rides the resolve record) must be
+    bit-identical to the two-gather default — it only moves WHERE the
+    corner attributes are fetched."""
+    import dataclasses
+
+    from voidin_tpu.passes import resolve
+
+    w = _scene()
+    scene = w.device()
+    cam = _camera(CFG.width / CFG.height)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+
+    def gb_of(cfg):
+        vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, cfg)
+        gb, aux = resolve.resolve_gbuffer(scene, vis, cam, cfg)
+        return gb, aux
+
+    gb_d, aux_d = gb_of(CFG)
+    gb_f, aux_f = gb_of(dataclasses.replace(CFG, fused_resolve_rec=True))
+    np.testing.assert_array_equal(np.asarray(gb_d.normal_uv),
+                                  np.asarray(gb_f.normal_uv))
+    np.testing.assert_array_equal(np.asarray(gb_d.material),
+                                  np.asarray(gb_f.material))
+    np.testing.assert_array_equal(np.asarray(aux_d.albedo),
+                                  np.asarray(aux_f.albedo))

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Watch for the axon TPU tunnel to come back, then capture the round's
+# official numbers: bench_all (north star + configs 1-5) and the
+# per-stage profile. Run detached:  nohup tools/tpu_watch.sh &
+cd "$(dirname "$0")/.."
+LOG=/tmp/tpu_watch.log
+echo "$(date +%T) tpu_watch started" >> "$LOG"
+while true; do
+  if timeout 150 python -c "import jax; print(jax.default_backend())" 2>/dev/null | grep -q tpu; then
+    echo "$(date +%T) TPU UP — starting capture" >> "$LOG"
+    break
+  fi
+  echo "$(date +%T) tpu down" >> "$LOG"
+  sleep 240
+done
+python -u tools/bench_all.py --out BENCH_CONFIGS.json >> "$LOG" 2>&1
+echo "$(date +%T) bench_all done" >> "$LOG"
+timeout 3000 python -u tools/bisect_frame.py --out BENCH_DETAIL.json >> "$LOG" 2>&1
+echo "$(date +%T) bisect done — ALL CAPTURES COMPLETE" >> "$LOG"

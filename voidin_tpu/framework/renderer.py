@@ -187,9 +187,12 @@ def render_frame(
 def frame_sources():
     """Source files whose edits must re-trace the frame pipeline — the
     import_mapping of the frame 'shader' (pipeline.rs:35-36)."""
+    from ..parallel import sharding as shard_mod
+    from ..scene import skin as skin_mod
+
     mods = [
         cull_pass, post_pass, raster_pass, resolve_pass, shading_pass,
-        taa_pass, update_pass,
+        taa_pass, update_pass, shard_mod, skin_mod,
     ]
     files = [m.__file__ for m in mods if getattr(m, "__file__", None)]
     files.append(__file__)

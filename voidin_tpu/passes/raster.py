@@ -77,6 +77,12 @@ class RasterConfig:
     # Cuts the masked-scene resolve cost from 2x to ~1.2x.
     lazy_alpha_resolve: bool = True
     alpha_fallback_capacity: int = 0
+    # Carry the 48 B corner-attribute row INSIDE the resolve record (96 B
+    # rows): resolve then issues ONE big-table gather per pixel instead of
+    # two, at the price of a per-work-item gather at setup and wider rows
+    # (48 B rows gather ~25% faster than 64 B — the win is not obvious;
+    # A/B on TPU before enabling).
+    fused_resolve_rec: bool = False
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W
@@ -378,15 +384,20 @@ def triangle_setup(
     # as f32 (exact < 2^24). Clip z is NOT stored: with the infinite
     # reverse-Z projection z_clip == znear (constant) and the homogeneous
     # barycentrics never read it. 48B rows gather ~25% faster than 64B.
-    resolve_rec = jnp.concatenate(
-        [
-            clip[:, :, jnp.array([0, 1, 3])].reshape(cap, 9),
-            inst.astype(jnp.float32)[:, None],
-            idx_start.astype(jnp.float32)[:, None],
-            jnp.zeros((cap, 1), jnp.float32),
-        ],
-        axis=-1,
-    )
+    resolve_cols = [
+        clip[:, :, jnp.array([0, 1, 3])].reshape(cap, 9),
+        inst.astype(jnp.float32)[:, None],
+        idx_start.astype(jnp.float32)[:, None],
+        jnp.zeros((cap, 1), jnp.float32),
+    ]
+    if config.fused_resolve_rec:
+        # fold the corner-attribute row in (one setup-time gather per work
+        # item buys resolve one fewer per-pixel big-table gather)
+        attr = meshes.tri_attr_packed[jnp.where(valid, tri_pool, 0)]
+        resolve_cols.append(
+            jax.lax.bitcast_convert_type(attr, jnp.float32)
+        )
+    resolve_rec = jnp.concatenate(resolve_cols, axis=-1)
     resolve_rec = jnp.concatenate([resolve_rec, resolve_rec[extra_src]])
 
     work_total = jnp.minimum(tri_total, cap) + jnp.minimum(n_extras, ecap)

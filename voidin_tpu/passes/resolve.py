@@ -127,8 +127,13 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
     lam_p = bary(x_ndc, y_ndc)  # (*S, 3)
 
     # Gather 2: ONE packed corner-attribute row (48 B): exact f32 uv per
-    # corner + octahedral corner normals/tangents (see MeshPoolData).
-    pk = scene.meshes.tri_attr_packed[tri_pool]  # (*S, 12) u32
+    # corner + octahedral corner normals/tangents (see MeshPoolData). With
+    # RasterConfig.fused_resolve_rec the row already rides the resolve
+    # record (gather 1) — no second big-table fetch.
+    if rec.shape[-1] >= 24:
+        pk = jax.lax.bitcast_convert_type(rec[..., 12:24], jnp.uint32)
+    else:
+        pk = scene.meshes.tri_attr_packed[tri_pool]  # (*S, 12) u32
     uv_c = jax.lax.bitcast_convert_type(
         pk[..., 0:6], jnp.float32
     ).reshape(S + (3, 2))
