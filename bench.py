@@ -146,6 +146,13 @@ def build_world(n_instances=10_000, seed=0):
     sphere3 = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 3))  # ~600 tris
     cube = w.meshes.add(vt.mesh.make_cube_mesh(1.5))  # 12 tris
     meshes = [sphere2, cube, sphere3, vt.mesh.SPHERE_1_MESH]
+    # Geometric LOD (cull.select_lod): instances past ~540/ratio px of
+    # screen radius rasterize coarser spheres — live triangles (and with
+    # them the capacity-padded setup/bin costs) drop ~3x with no visible
+    # change at 1080p (sub-pixel triangles are pure binning waste).
+    sphere1 = vt.mesh.SPHERE_1_MESH  # ~50 tris
+    w.meshes.set_lods(sphere3, [(sphere2, 8.0), (sphere1, 20.0)])
+    w.meshes.set_lods(sphere2, [(sphere1, 14.0)])
 
     # 10k instances in a 400x400 field; the camera sees a narrow slice.
     moving = []
@@ -291,8 +298,8 @@ def main():
     cfg = RasterConfig(
         width=1920,
         height=1080,
-        tri_capacity=1 << 20,
-        pair_capacity=1 << 20,  # scene peaks at ~690k pairs; ops cost by capacity
+        tri_capacity=1 << 19,  # ~204k live LOD-selected tris (was 1.1M)
+        pair_capacity=1 << 19,  # ops cost by capacity; overflow checked 0
         tile_tri_capacity=128,
         interpret=backend == "cpu",
     )

@@ -369,3 +369,32 @@ def test_ltc_apply_texture_filtering():
                             p2 * 10)
     mean = 0.5
     assert abs(float(far[0, 0]) - mean) <= abs(float(near[0, 0]) - mean) + 0.25
+
+
+def test_half_res_area_lights_close_to_full_res():
+    """area_light_scale=2 (documented deviation): the LTC terms evaluated
+    on every 2nd pixel + bilinear upsample must stay close to full-res on
+    the area-lit golden scene."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import voidin_tpu as vt
+    from tests.test_golden import CFG, _deferred_scene
+    from voidin_tpu.framework.renderer import Renderer
+
+    w = _deferred_scene()
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0,
+                    aspect=CFG.width / CFG.height)
+    img1 = np.asarray(Renderer(
+        w.device(), CFG, enable_taa=False,
+    ).render(cam))
+    img2 = np.asarray(Renderer(
+        w.device(), CFG, enable_taa=False, area_light_scale=2,
+    ).render(cam))
+    diff = np.abs(img1 - img2)
+    assert diff.mean() < 5e-3, diff.mean()
+    # the tail is silhouette pixels where bilinear upsampling bleeds
+    # across depth edges; at this tiny test resolution (160x96) edges are
+    # a much larger pixel fraction than at 1080p
+    assert np.quantile(diff, 0.99) < 0.12, np.quantile(diff, 0.99)

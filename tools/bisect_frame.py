@@ -46,7 +46,7 @@ def main():
     backend = jax.default_backend()
     world, moving = build_world()
     cfg = RasterConfig(
-        width=1920, height=1080, tri_capacity=1 << 20, pair_capacity=1 << 20,
+        width=1920, height=1080, tri_capacity=1 << 19, pair_capacity=1 << 19,
         tile_tri_capacity=128, interpret=backend == "cpu",
     )
     scene = world.device()

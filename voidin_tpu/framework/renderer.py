@@ -81,6 +81,7 @@ def render_frame(
     enable_post: bool = True,
     enable_rt_shadows: bool = False,
     rt_shadow_scale: int = 1,
+    area_light_scale: int = 1,
     mesh=None,
     joint_mats=None,
 ):
@@ -158,7 +159,10 @@ def render_frame(
             scene, gbuffer, camera, aux=aux_r, shadow_scale=rt_shadow_scale
         )
     else:
-        hdr = shading_pass.shade(scene, gbuffer, camera, aux=aux_r)
+        hdr = shading_pass.shade(
+            scene, gbuffer, camera, aux=aux_r,
+            area_light_scale=area_light_scale,
+        )
     if mesh is not None:
         hdr = shard_mod.shard_rows(mesh, hdr)
 
@@ -211,6 +215,7 @@ class Renderer:
         enable_post: bool = True,
         enable_rt_shadows: bool = False,
         rt_shadow_scale: int = 1,
+        area_light_scale: int = 1,
         moving_ids: Optional[np.ndarray] = None,
         mesh=None,
         pipeline_cache=None,
@@ -249,6 +254,7 @@ class Renderer:
                     enable_post=enable_post,
                     enable_rt_shadows=enable_rt_shadows,
                     rt_shadow_scale=rt_shadow_scale,
+                    area_light_scale=area_light_scale,
                     mesh=mesh,
                     joint_mats=jm_,
                 )

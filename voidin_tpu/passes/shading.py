@@ -330,14 +330,44 @@ def _material_fields(scene: SceneData, gbuffer: GBuffer, albedo=None):
     return albedo, emissive, mr
 
 
+def _area_light_terms(scene: SceneData, nor, rd, pos, roughness):
+    """Accumulated area-light (diffuse-pre-albedo, specular) rgb terms for
+    all area lights at the given pixel set (shading.wgsl:98-112)."""
+    lights = scene.lights
+    minv, _t1, t2 = ltc_matrix(scene, nor, rd, roughness)
+    identity = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), minv.shape)
+    acc_d = jnp.zeros(pos.shape[:-1] + (3,), jnp.float32)
+    acc_s = jnp.zeros_like(acc_d)
+    for i in range(lights.area_intensity.shape[0]):
+        pts = lights.area_points[i]  # (4, 3)
+        intensity = lights.area_intensity[i]
+        lcol = lights.area_color[i]
+        light_radius = 25.0
+        center = (pts[0] + pts[2]) * 0.5
+        diff = ltc_evaluate_rect(scene, nor, rd, pos, identity, pts)
+        spec = ltc_evaluate_rect(scene, nor, rd, pos, minv, pts)
+        # scolor = vec3(1): spec *= t2.x (ltc.wgsl:188-191)
+        spec = spec * t2[..., 0]
+        dist_c = jnp.linalg.norm(center - pos, axis=-1)
+        atten = attenuation(intensity, 500.0, dist_c, light_radius)
+        acc_d = acc_d + (lcol * intensity) * diff[..., None]
+        acc_s = acc_s + (lcol * intensity) * (spec * atten)[..., None]
+    return acc_d, acc_s
+
+
 def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None,
-          aux=None) -> jnp.ndarray:
+          aux=None, area_light_scale: int = 1) -> jnp.ndarray:
     """G-buffer -> (H, W, 3) HDR color.
 
     `aux`: the ResolveAux from the resolve pass (albedo + emissive + mr per
     pixel) — the production path; this function then runs gather-free.
     `albedo`: optional pre-filtered albedo alone (shading.wgsl:58) when no
     aux is available.
+    `area_light_scale=s` (a DOCUMENTED deviation, off by default): the
+    LTC area-light terms are evaluated on every s-th pixel and bilinearly
+    upsampled — an s^2 reduction of the LTC math for scenes where it
+    dominates. Albedo modulation, point lights, emissive and visibility
+    stay full-res.
     """
     depth = gbuffer.depth
     material_id = gbuffer.material
@@ -376,24 +406,48 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None,
     # Area lights.
     if lights.area_intensity.shape[0] > 0:
         roughness = jnp.clip(mr[..., 0], 0.0, 1.0)
-        minv, _t1, t2 = ltc_matrix(scene, nor, rd, roughness)
-        identity = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), minv.shape)
-        for i in range(lights.area_intensity.shape[0]):
-            pts = lights.area_points[i]  # (4, 3)
-            intensity = lights.area_intensity[i]
-            lcol = lights.area_color[i]
-            light_radius = 25.0
-            center = (pts[0] + pts[2]) * 0.5
-            diff = ltc_evaluate_rect(scene, nor, rd, pos, identity, pts)
-            spec = ltc_evaluate_rect(scene, nor, rd, pos, minv, pts)
-            # scolor = vec3(1): spec *= t2.x (ltc.wgsl:188-191)
-            spec = spec * t2[..., 0]
-            dist_c = jnp.linalg.norm(center - pos, axis=-1)
-            atten = attenuation(intensity, 500.0, dist_c, light_radius)
-            contrib = (lcol * intensity)[None, None, :] * (
-                (spec * atten)[..., None] + albedo[..., :3] * diff[..., None]
+        if area_light_scale > 1:
+            s = area_light_scale
+            acc_d, acc_s = _area_light_terms(
+                scene, nor[::s, ::s], rd[::s, ::s], pos[::s, ::s],
+                roughness[::s, ::s],
             )
+            import jax.image as jimage
+
+            H, W = pos.shape[:2]
+            hs, ws = acc_d.shape[:2]
+
+            def up(a):
+                return jimage.resize(
+                    a, (hs * s, ws * s, 3), method="bilinear"
+                )[:H, :W]
+
+            acc_d, acc_s = up(acc_d), up(acc_s)
+            contrib = albedo[..., :3] * acc_d + acc_s
             color = color + jnp.where(is_light[..., None], 0.0, contrib)
+        else:
+            # full-res: per-light combine, bit-exact legacy order
+            minv, _t1, t2 = ltc_matrix(scene, nor, rd, roughness)
+            identity = jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), minv.shape
+            )
+            for i in range(lights.area_intensity.shape[0]):
+                pts = lights.area_points[i]  # (4, 3)
+                intensity = lights.area_intensity[i]
+                lcol = lights.area_color[i]
+                light_radius = 25.0
+                center = (pts[0] + pts[2]) * 0.5
+                diff = ltc_evaluate_rect(scene, nor, rd, pos, identity, pts)
+                spec = ltc_evaluate_rect(scene, nor, rd, pos, minv, pts)
+                # scolor = vec3(1): spec *= t2.x (ltc.wgsl:188-191)
+                spec = spec * t2[..., 0]
+                dist_c = jnp.linalg.norm(center - pos, axis=-1)
+                atten = attenuation(intensity, 500.0, dist_c, light_radius)
+                contrib = (lcol * intensity)[None, None, :] * (
+                    (spec * atten)[..., None]
+                    + albedo[..., :3] * diff[..., None]
+                )
+                color = color + jnp.where(is_light[..., None], 0.0, contrib)
 
     return jnp.maximum(color, 0.0)
 
