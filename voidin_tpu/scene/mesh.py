@@ -265,6 +265,25 @@ class MeshPool:
             assert 0 <= m < len(self.mesh_info)
         self.mesh_info[base_id]["lods"] = list(lods)
 
+    def add_with_auto_lods(self, mesh: Mesh, ratios=(10.0, 25.0),
+                           cells=(24, 10)) -> int:
+        """Add a mesh plus grid-decimated LOD levels (decimate_grid) at the
+        given distance/radius thresholds. Levels that fail to reduce the
+        triangle count are skipped. Returns the base mesh id."""
+        base = self.add(mesh)
+        lods = []
+        prev_tris = mesh.indices.size // 3
+        for r, c in zip(ratios, cells):
+            m = decimate_grid(mesh, c)
+            t = m.indices.size // 3
+            if t >= prev_tris:
+                continue
+            lods.append((self.add(m), float(r)))
+            prev_tris = t
+        if lods:
+            self.set_lods(base, lods)
+        return base
+
     def host_arrays(self) -> dict:
         nodes = (
             np.concatenate(self.bvh_nodes)
@@ -407,3 +426,46 @@ def make_torus_knot(
             idx += [a0, b0, a1, a1, b0, b1]
     return Mesh(verts, normals, tangents.astype(np.float32), uvs,
                 np.array(idx, np.int32))
+
+
+def decimate_grid(mesh: Mesh, cells: int = 24) -> Mesh:
+    """Vertex-clustering decimation: snap vertices to a cells^3 grid over
+    the mesh AABB, merge clusters (position/normal/tangent/uv averaged),
+    drop degenerate triangles. Quality is coarse but robust — intended for
+    DISTANT geometric LODs (sub-pixel triangles are pure binning waste on
+    a software raster), where silhouette fidelity at a few pixels is all
+    that matters. The reference has no LOD or decimation at all.
+    """
+    v = mesh.vertices
+    mn = v.min(axis=0)
+    ext = np.maximum(v.max(axis=0) - mn, 1e-9)
+    key = np.minimum((v - mn) / ext * cells, cells - 1e-4).astype(np.int64)
+    flat = (key[:, 0] * cells + key[:, 1]) * cells + key[:, 2]
+    uniq, remap = np.unique(flat, return_inverse=True)
+    k = len(uniq)
+
+    def avg(a):
+        out = np.zeros((k, a.shape[1]), np.float64)
+        np.add.at(out, remap, a.astype(np.float64))
+        cnt = np.zeros(k, np.float64)
+        np.add.at(cnt, remap, 1.0)
+        return (out / cnt[:, None]).astype(np.float32)
+
+    verts = avg(v)
+    nrm = avg(mesh.normals)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
+    tan = avg(mesh.tangents)
+    t3 = tan[:, :3]
+    t3 /= np.maximum(np.linalg.norm(t3, axis=1, keepdims=True), 1e-9)
+    tan = np.concatenate([t3, np.sign(tan[:, 3:4] + 0.5)], axis=1)
+    uv = avg(mesh.uvs)
+
+    tri = remap[mesh.indices.reshape(-1, 3)]
+    keep = (
+        (tri[:, 0] != tri[:, 1]) & (tri[:, 1] != tri[:, 2])
+        & (tri[:, 0] != tri[:, 2])
+    )
+    idx = tri[keep].reshape(-1).astype(np.int32)
+    if idx.size == 0:  # degenerate input: keep one triangle
+        idx = np.array([0, min(1, k - 1), min(2, k - 1)], np.int32)
+    return Mesh(verts, nrm, tan.astype(np.float32), uv, idx)
