@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""A/B the round-3 perf options on the north-star frame (slope-timed):
+
+  base                 — current defaults
+  fused_rec            — RasterConfig.fused_resolve_rec (96 B resolve rows)
+  ltc_bf16             — shading.LTC_LUT_BF16 (bf16 LUT weight matrices)
+  area_half            — area_light_scale=2 (flagged deviation)
+  all                  — everything on
+
+Usage: python -u tools/ab_options.py [--cpu]
+Honest timing only via tools/tpu_timeit.slope_time (block_until_ready is
+a no-op on the axon tunnel).
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.tpu_timeit import slope_time  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+    import jax.numpy as jnp
+
+    import voidin_tpu as vt
+    from bench import build_world
+    from voidin_tpu.framework.renderer import (
+        FrameState, Globals, render_frame,
+    )
+    from voidin_tpu.passes import shading
+    from voidin_tpu.passes.raster import RasterConfig
+
+    backend = jax.default_backend()
+    world, moving = build_world()
+    scene = world.device()
+    cfg0 = RasterConfig(
+        width=1920, height=1080, tri_capacity=1 << 19,
+        pair_capacity=1 << 19, tile_tri_capacity=128,
+        interpret=backend == "cpu",
+    )
+    cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
+                    aspect=1920 / 1080).uniform()
+    state = FrameState.initial(cfg0.width, cfg0.height)
+    moving_j = jnp.asarray(moving)
+    g = Globals.make(cfg0.width, cfg0.height, frame=1, time=1.0, dt=0.0)
+
+    variants = [
+        ("base", dict(), False, 1),
+        ("fused_rec", dict(fused_resolve_rec=True), False, 1),
+        ("ltc_bf16", dict(), True, 1),
+        ("area_half", dict(), False, 2),
+        ("all", dict(fused_resolve_rec=True), True, 2),
+    ]
+    print(f"backend={backend}")
+    results = {}
+    for name, cfg_kw, bf16, ascale in variants:
+        cfg = dataclasses.replace(cfg0, **cfg_kw)
+        shading.LTC_LUT_BF16 = bf16
+        try:
+            def f(eps):
+                camera = cam.replace(znear=cam.znear + eps)
+                img, _st, _sc, _aux = render_frame(
+                    scene, camera, g, state, moving_j, cfg,
+                    area_light_scale=ascale,
+                )
+                return img.sum()
+
+            ms = slope_time(jax.jit(f))
+        finally:
+            shading.LTC_LUT_BF16 = False
+        results[name] = ms
+        delta = ms - results["base"] if name != "base" else 0.0
+        print(f"{name:12s} {ms:8.2f} ms   ({delta:+6.2f} vs base)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
