@@ -145,12 +145,44 @@ def _render_deferred_480p_compiled():
     return img
 
 
+def _render_ring_light():
+    """The exact clipped-disk LTC path (ltc_evaluate_disk/_ring2) through
+    the ring_light demo shading — locks the round-3 disk math."""
+    from voidin_tpu.passes import cull, raster, resolve, shading
+    from voidin_tpu.passes.postprocess import postprocess
+    from voidin_tpu.scene.texture import linear_to_srgb
+
+    w = vt.World()
+    grey = w.materials.add(albedo=w.textures.add(
+        np.array([[[170, 170, 175, 255]]], np.uint8), srgb=True))
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -1, -6]) @ mathx.from_scale(40.0)),
+        vt.mesh.HORIZONTAL_PLANE_MESH, grey)
+    for i in range(3):
+        t = mathx.from_translation([2.0 * (i - 1), 0.0, -6.0])
+        w.instances.add(np.asarray(t), vt.mesh.SPHERE_10_MESH, grey)
+    scene = w.device()
+    cam = vt.Camera(position=[0, 2.0, -1.0], pitch=-18.0,
+                    aspect=W / H).uniform()
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+    vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, CFG)
+    gb, aux = resolve.resolve_gbuffer(scene, vis, cam, CFG)
+    hdr = shading.shade_ring_light(
+        scene, gb, cam,
+        disk_center=[0, 4.0, -2.0], disk_dirx=[1.0, 0.0, 0.0],
+        disk_diry=[0.0, 0.2, -1.0], halfx=2.5, halfy=2.5,
+        albedo=aux.albedo,
+    )
+    return np.asarray(linear_to_srgb(postprocess(hdr)))
+
+
 CASES = {
     "deferred": _render_deferred,
     "taa3": _render_taa,
     "rt_shadows": _render_rt,
     "model_flagship": _render_model_flagship,
     "deferred_480p": _render_deferred_480p_compiled,
+    "ring_light": _render_ring_light,
 }
 
 
@@ -206,3 +238,7 @@ if __name__ == "__main__":
         for name, fn in CASES.items():
             save_png(os.path.join(GOLDEN_DIR, f"{name}.png"), fn())
             print("wrote", name)
+
+
+def test_golden_ring_light():
+    _compare("ring_light", _render_ring_light())
