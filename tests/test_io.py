@@ -94,6 +94,9 @@ def test_scene_snapshot_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert cam2.aspect == 1.5 and cam2.yaw == 10.0
     np.testing.assert_allclose(cam2.position, [1, 2, 3])
+    # static (non-leaf) fields must survive too
+    assert scene2.tlas.refit_levels == scene.tlas.refit_levels
+    assert scene2.meshes.has_lods == scene.meshes.has_lods
 
 
 def test_native_texture_packer_matches_numpy():
