@@ -67,7 +67,7 @@ def _probe_tpu_subprocess(timeout_s):
     return None, out.strip().splitlines()[-1][:160] if out.strip() else "no output"
 
 
-def acquire_backend(total_budget_s=900.0):
+def acquire_backend(total_budget_s=900.0, insurance_metric=None):
     """Initialize the JAX backend with patience measured in MINUTES.
 
     Probes in subprocesses (hard per-attempt timeout) with growing backoff
@@ -75,12 +75,18 @@ def acquire_backend(total_budget_s=900.0):
     is warm. After the budget, pins the CPU backend (never having touched
     axon in-process, so the pin is clean) and lets the caller record an
     honest degraded measurement instead of a traceback.
-    """
+
+    `insurance_metric`: after the FIRST failed probe an error JSON line for
+    this metric is printed immediately — if the driver's own timeout kills
+    the process mid-probe, a parseable record is already on stdout. A later
+    successful measurement prints the real line afterwards (last line
+    wins)."""
     import jax
 
     t0 = time.monotonic()
     delay, probe_timeout = 5.0, 120.0
     attempt = 0
+    insured = False
     while time.monotonic() - t0 < total_budget_s:
         attempt += 1
         backend, err = _probe_tpu_subprocess(probe_timeout)
@@ -90,6 +96,14 @@ def acquire_backend(total_budget_s=900.0):
             return jax.default_backend()
         print(f"# backend probe failed (attempt {attempt}, "
               f"{time.monotonic() - t0:.0f}s): {err}", file=sys.stderr)
+        if not insured and insurance_metric:
+            print(json.dumps({
+                "metric": insurance_metric, "value": None, "unit": "ms",
+                "vs_baseline": 0.0,
+                "error": "TPU tunnel not answering (probing continues; a "
+                         "later JSON line supersedes this one)",
+            }), flush=True)
+            insured = True
         remaining = total_budget_s - (time.monotonic() - t0)
         if remaining < probe_timeout / 2:
             break
@@ -191,7 +205,9 @@ def run_preset(n, profile=False):
     from voidin_tpu.framework.renderer import Renderer
     from voidin_tpu.passes.raster import RasterConfig
 
-    backend = acquire_backend()
+    backend = acquire_backend(
+        insurance_metric=f"ms/frame 1080p BASELINE config {n}"
+    )
     if backend == "cpu-fallback":
         print(
             json.dumps(
@@ -276,7 +292,10 @@ def main():
     if args.config:
         return run_preset(args.config)
 
-    backend = acquire_backend()
+    backend = acquire_backend(
+        insurance_metric="ms/frame 1080p 10k-instance culled scene "
+        "(cull+raster+shade+TAA)"
+    )
     if backend == "cpu-fallback":
         # TPU never answered within the budget. A 1080p interpret-mode CPU
         # measurement is meaningless for the TPU metric and could outlive
