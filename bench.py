@@ -374,11 +374,21 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc(file=sys.stderr)
+        _cfg = 0
+        for _i, _a in enumerate(sys.argv):
+            if _a == "--config" and _i + 1 < len(sys.argv):
+                _cfg = int(sys.argv[_i + 1])
+            elif _a.startswith("--config="):
+                _cfg = int(_a.split("=", 1)[1])
         print(
             json.dumps(
                 {
-                    "metric": "ms/frame 1080p 10k-instance culled scene "
-                    "(cull+raster+shade+TAA)",
+                    "metric": (
+                        f"ms/frame 1080p BASELINE config {_cfg}"
+                        if _cfg
+                        else "ms/frame 1080p 10k-instance culled scene "
+                        "(cull+raster+shade+TAA)"
+                    ),
                     "value": None,
                     "unit": "ms",
                     "vs_baseline": 0.0,

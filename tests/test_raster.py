@@ -488,3 +488,75 @@ def test_auto_lod_decimation():
     vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, CFG)
     assert int(vis.overflow) == 0
     assert (np.asarray(vis.tri_id) >= 0).sum() > 3
+
+
+# ---------------------------------------------------------------------------
+# Cross-boundary tie collapse: the within-chunk/group c2 mask cannot see a
+# bit-equal twin that lands in a DIFFERENT chunk (pairs kernel, CHUNK=128) or
+# group (XLA twin, TRI_GROUP=8); the carry merge must collapse it too.
+# ---------------------------------------------------------------------------
+
+from voidin_tpu.ops import fine_raster as fr
+
+
+def _const_record(depth, tri_id, inside=True):
+    """Raw coefficient record with constant depth covering every pixel
+    (edges e = +-1 everywhere); `inside=False` makes it cover nothing."""
+    r = np.zeros(fr.RECORD_F, np.float32)
+    b = 1.0 if inside else -1.0
+    r[2] = r[5] = r[8] = b
+    r[fr.F_D + 2] = depth
+    r[fr.F_ID] = tri_id
+    r[fr.F_ZMAX] = depth
+    return r
+
+
+def test_runner_up_tie_collapse_across_groups_xla():
+    K = 16
+    recs = np.stack(
+        [_const_record(0.0, -1.0, inside=False) for _ in range(K)]
+    )
+    recs[0] = _const_record(0.5, 7.0)      # winner, group 0
+    recs[1] = _const_record(0.25, 3.0)     # true runner-up (backdrop)
+    recs[8] = _const_record(0.5, 9.0)      # bit-equal twin, group 1
+    d, i, d2, i2 = raster.fine_raster_xla(
+        jnp.asarray(recs)[None], jnp.asarray([K], jnp.int32), CFG,
+        track2=True,
+    )
+    assert float(d[0, 0]) == 0.5
+    # the tie collapsed: runner-up is the backdrop, not the 0.5 twin
+    assert float(d2[0, 0]) == 0.25, float(d2[0, 0])
+    assert float(i2[0, 0]) == 3.0
+
+
+def test_runner_up_tie_collapse_across_chunks_pairs():
+    NT, E = 8, 2 * fr.CHUNK
+    recs = np.stack(
+        [_const_record(0.0, -1.0, inside=False) for _ in range(E)]
+    )
+    recs[0] = _const_record(0.5, 7.0)      # winner, chunk 0
+    recs[1] = _const_record(0.25, 3.0)     # true runner-up, chunk 0
+    recs[fr.CHUNK + 2] = _const_record(0.5, 9.0)  # bit-equal twin, chunk 1
+    starts = np.zeros(NT, np.int32)
+    counts = np.zeros(NT, np.int32)
+    counts[0] = E
+    d, i, d2, i2 = fr.fine_raster_pairs(
+        jnp.asarray(recs), jnp.asarray(starts), jnp.asarray(counts),
+        tiles_x=CFG.tiles_x, interpret=True, track2=True,
+    )
+    assert float(d[0, 0]) == 0.5
+    assert float(d2[0, 0]) == 0.25, float(d2[0, 0])
+    assert float(i2[0, 0]) == 3.0
+    # order swap: twin first, winner+backdrop in the later chunk
+    recs2 = np.stack(
+        [_const_record(0.0, -1.0, inside=False) for _ in range(E)]
+    )
+    recs2[0] = _const_record(0.5, 9.0)
+    recs2[fr.CHUNK + 1] = _const_record(0.5, 7.0)
+    recs2[fr.CHUNK + 2] = _const_record(0.25, 3.0)
+    d, i, d2, i2 = fr.fine_raster_pairs(
+        jnp.asarray(recs2), jnp.asarray(starts), jnp.asarray(counts),
+        tiles_x=CFG.tiles_x, interpret=True, track2=True,
+    )
+    assert float(d[0, 0]) == 0.5
+    assert float(d2[0, 0]) == 0.25, float(d2[0, 0])

@@ -124,8 +124,9 @@ def test_sharded_raster_work_is_partitioned():
     count equals the pairs whose tiles fall in its row slab, and the slab
     counts sum to the global pair count (nothing replicated, nothing
     dropped)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from voidin_tpu.parallel.sharding import shard_map_unchecked
 
     from voidin_tpu.parallel import sharding as sh
     from voidin_tpu.passes import cull, raster
@@ -150,9 +151,9 @@ def test_sharded_raster_work_is_partitioned():
         )
         return jnp.sum(counts)[None], ov[None]
 
-    per_dev, ovs = jax.jit(shard_map(
+    per_dev, ovs = jax.jit(shard_map_unchecked(
         body, mesh=mesh, in_specs=(P(),),
-        out_specs=(P(sh.ROW_AXIS), P(sh.ROW_AXIS)), check_rep=False,
+        out_specs=(P(sh.ROW_AXIS), P(sh.ROW_AXIS)),
     ))(setup)
     per_dev = np.asarray(per_dev)
     assert (np.asarray(ovs) == 0).all()
@@ -167,6 +168,22 @@ def test_sharded_raster_work_is_partitioned():
     # the scene actually spans several slabs (the test would be vacuous if
     # one device owned all pairs)
     assert (per_dev > 0).sum() >= 3, per_dev
+
+
+def test_sharded_extras_capacity_scales_inverse_n():
+    """The per-device extras window shrinks ~1/N (padded ops cost by
+    capacity — the binning tail must actually scale with device count)."""
+    from voidin_tpu.ops.fine_raster import CHUNK
+    from voidin_tpu.parallel.sharding import local_pair_capacity
+
+    cap = 1 << 20
+    vals = [local_pair_capacity(cap, n) for n in (1, 2, 4, 8)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # monotone
+    assert vals[0] <= cap
+    # ~1/N up to rounding
+    assert vals[3] <= vals[0] // 8 + 4 * 512
+    # floor: never below one DMA chunk of extras
+    assert local_pair_capacity(64, 8) == 4 * CHUNK
 
 
 def test_shard_rows_helper_roundtrip():

@@ -217,7 +217,15 @@ def _kernel_pairs(
                     jnp.where(c2 == g2, idt, -1.0), axis=0, keepdims=True
                 )
                 g2id = jnp.where(g2 > 0.0, g2id, -1.0)
-                lv = jnp.where(take, bd, gmax)  # demoted best
+                # Demoted best for the cross-chunk merge. When the chunk's
+                # winner bit-equals the running best (take is False,
+                # gmax == bd) it is a TIE of the overall winner — e.g. a
+                # quad's twin landing in a different chunk — and must be
+                # collapsed exactly like the within-chunk ties above, not
+                # tracked as runner-up.
+                lv = jnp.where(
+                    take, bd, jnp.where(gmax == bd, -1.0, gmax)
+                )
                 li = jnp.where(take, bi, gid)
                 t2 = g2 > bd2
                 m2v = jnp.where(t2, g2, bd2)

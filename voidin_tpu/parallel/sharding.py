@@ -20,6 +20,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ROW_AXIS = "rows"
 
 
+def local_pair_capacity(pair_capacity: int, n_dev: int) -> int:
+    """Per-device pair capacity for the row-partitioned raster.
+
+    The slab clamp makes each device's live multi-tile extras ~1/N of the
+    global stream, so the extras window EB = pair_capacity//4 shrinks to
+    EB/N (floor: one 128-record DMA chunk) — padded ops cost by capacity,
+    so the binning sort/scan tail actually scales with device count.
+    """
+    from ..ops.fine_raster import CHUNK
+
+    eb = max(CHUNK, -(-(pair_capacity // 4) // n_dev))
+    return 4 * eb
+
+
+def shard_map_unchecked(f, mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across jax versions
+    (jax>=0.8 renamed check_rep to check_vma and moved out of
+    experimental)."""
+    try:
+        from jax import shard_map
+
+        kw = {"check_vma": False}
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+
+        kw = {"check_rep": False}
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -65,16 +94,26 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
 
     Triangle setup stays replicated (each device transforms the full
     triangle list — its output feeds every slab a triangle touches; at
-    1080p the per-pixel stages dominate, see README). Returns a VisBuffer
-    whose images are row-sharded across the mesh.
+    1080p the per-pixel stages dominate, see README), and so does the
+    1:1 first-tile stream (slot i <-> triangle i by construction). The
+    multi-tile EXTRAS stream, its scans/gathers, and the tile sort tail
+    scale with a per-device pair capacity of pair_capacity/N: the slab
+    clamp makes live extras ~1/N per device, so capacity (which is what
+    padded ops cost by) shrinks with it; the psum'd overflow counter
+    still validates tightness. Returns a VisBuffer whose images are
+    row-sharded across the mesh.
     """
+    import dataclasses
+
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
 
     from ..ops import fine_raster as fr
     from ..passes import raster as raster_pass
 
     n_dev = mesh.devices.size
+    local_cfg = dataclasses.replace(
+        config, pair_capacity=local_pair_capacity(config.pair_capacity, n_dev)
+    )
     TY, TX = config.tiles_y, config.tiles_x
     if TY % n_dev:
         raise ValueError(
@@ -96,7 +135,7 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
         ty_lo = d * rows_per
         rec_sorted, starts, counts, overflow = (
             raster_pass.bin_triangles_pairs(
-                setup_, config, ty_range=(ty_lo, rows_per)
+                setup_, local_cfg, ty_range=(ty_lo, rows_per)
             )
         )
         outs = fr.fine_raster_pairs(
@@ -129,9 +168,8 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
         (row_spec, row_spec, P(), row_spec, row_spec)
         if track2 else (row_spec, row_spec, P())
     )
-    outs = shard_map(
-        body, mesh=mesh, in_specs=(P(),), out_specs=out_specs,
-        check_rep=False,
+    outs = shard_map_unchecked(
+        body, mesh=mesh, in_specs=(P(),), out_specs=out_specs
     )(setup)
 
     H, W = config.height, config.width

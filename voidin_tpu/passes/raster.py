@@ -693,7 +693,10 @@ def fine_raster_xla(records, counts, config: RasterConfig, track2: bool = False)
         g2 = jnp.max(c2, axis=1)
         g2id = jnp.max(jnp.where(c2 == g2[:, None, :], idf, -1.0), axis=1)
         g2id = jnp.where(g2 > 0.0, g2id, -1.0)
-        lv = jnp.where(take, best_d, gmax)  # demoted best
+        # Demoted best; a cross-group bit-equal winner (gmax == best_d,
+        # take False) is a tie of the overall winner and must collapse,
+        # same as the within-group c2 mask (see ops/fine_raster.py).
+        lv = jnp.where(take, best_d, jnp.where(gmax == best_d, -1.0, gmax))
         li = jnp.where(take, best_i, gid)
         t2 = g2 > best_d2
         m2v = jnp.where(t2, g2, best_d2)

@@ -457,7 +457,10 @@ def decimate_grid(mesh: Mesh, cells: int = 24) -> Mesh:
     tan = avg(mesh.tangents)
     t3 = tan[:, :3]
     t3 /= np.maximum(np.linalg.norm(t3, axis=1, keepdims=True), 1e-9)
-    tan = np.concatenate([t3, np.sign(tan[:, 3:4] + 0.5)], axis=1)
+    # majority handedness; never 0 (a zero tangent.w kills the bitangent)
+    tan = np.concatenate(
+        [t3, np.where(tan[:, 3:4] >= 0.0, 1.0, -1.0)], axis=1
+    )
     uv = avg(mesh.uvs)
 
     tri = remap[mesh.indices.reshape(-1, 3)]
