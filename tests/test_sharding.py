@@ -170,6 +170,44 @@ def test_sharded_raster_work_is_partitioned():
     assert (per_dev > 0).sum() >= 3, per_dev
 
 
+def test_sharded_raster_track2_matches_unsharded():
+    """The alpha-mask variant (track2: runner-up depth/id outputs ride the
+    shard_map as two extra row-sharded arrays) must also be bit-identical
+    to the unsharded Pallas frame."""
+    cfg, (scene, cam, _g, _st, _mov) = _scene()
+    cfg = dataclasses.replace(
+        cfg, backend="pallas", interpret=True, alpha_mask=True
+    )
+    from voidin_tpu.parallel.sharding import rasterize_sharded
+    from voidin_tpu.passes import cull, raster
+
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+
+    def unsharded():
+        return raster.rasterize(
+            scene.meshes, scene.instances, draws, cam, cfg,
+            materials=scene.materials,
+        )
+
+    vis_base = jax.jit(unsharded)()
+    mesh = make_mesh(8)
+
+    def sharded():
+        return rasterize_sharded(
+            scene.meshes, scene.instances, draws, cam, cfg, mesh,
+            materials=scene.materials,
+        )
+
+    vis = jax.jit(sharded)()
+    assert vis.tri_id2 is not None and vis.depth2 is not None
+    for field in ("depth", "tri_id", "depth2", "tri_id2"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(vis_base, field)),
+            np.asarray(getattr(vis, field)),
+            err_msg=f"sharded track2 {field} must be bit-identical",
+        )
+
+
 def test_sharded_extras_capacity_scales_inverse_n():
     """The per-device extras window shrinks ~1/N (padded ops cost by
     capacity — the binning tail must actually scale with device count)."""
