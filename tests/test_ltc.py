@@ -398,3 +398,35 @@ def test_half_res_area_lights_close_to_full_res():
     # across depth edges; at this tiny test resolution (160x96) edges are
     # a much larger pixel fraction than at 1080p
     assert np.quantile(diff, 0.99) < 0.12, np.quantile(diff, 0.99)
+
+
+def test_ltc_lut_bf16_close_to_f32():
+    """shading.LTC_LUT_BF16 (A/B perf option: bf16 bilinear weight
+    matrices for the LUT-on-MXU fetches) must stay well inside the 1e-2
+    image budget on the area-lit golden scene."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import voidin_tpu as vt
+    from tests.test_golden import CFG, _deferred_scene
+    from voidin_tpu.framework.renderer import Renderer
+    from voidin_tpu.passes import shading
+
+    w = _deferred_scene()
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0,
+                    aspect=CFG.width / CFG.height)
+    img_f32 = np.asarray(Renderer(
+        w.device(), CFG, enable_taa=False,
+    ).render(cam))
+    shading.LTC_LUT_BF16 = True
+    try:
+        img_bf16 = np.asarray(Renderer(
+            w.device(), CFG, enable_taa=False,
+        ).render(cam))
+    finally:
+        shading.LTC_LUT_BF16 = False
+    diff = np.abs(img_f32.astype(np.float64) - img_bf16.astype(np.float64))
+    # measured ~7e-3 worst pixel on this scene — inside the 1e-2 budget
+    assert diff.max() < 1e-2, diff.max()
+    assert diff.mean() < 2e-4, diff.mean()
