@@ -25,6 +25,13 @@ from tools.tpu_timeit import slope_time  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "AB_OPTIONS.json",
+        ),
+    )
     args = ap.parse_args()
 
     import jax
@@ -84,6 +91,21 @@ def main():
         delta = ms - results["base"] if name != "base" else 0.0
         print(f"{name:12s} {ms:8.2f} ms   ({delta:+6.2f} vs base)",
               flush=True)
+
+    import json
+
+    with open(args.out, "w") as f:
+        json.dump(
+            {
+                "backend": backend,
+                "scene": "north-star 10k instances 1080p",
+                "method": "tools/tpu_timeit.slope_time",
+                "ms_per_variant": {k: round(v, 3) for k, v in results.items()},
+            },
+            f,
+            indent=2,
+        )
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
