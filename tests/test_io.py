@@ -99,6 +99,32 @@ def test_scene_snapshot_roundtrip(tmp_path):
     assert scene2.meshes.has_lods == scene.meshes.has_lods
 
 
+def test_scene_snapshot_version_mismatch(tmp_path):
+    """A snapshot from a different format version must fail LOUDLY: the flat
+    leaf stream misaligns when pytree fields change, so silent loading would
+    corrupt the scene (round-3 review finding)."""
+    import pytest
+
+    from voidin_tpu.core import mathx
+    from voidin_tpu.io.snapshot import load_scene, save_scene
+
+    w = vt.World()
+    w.instances.add(np.asarray(mathx.from_translation([0, 0, -4])),
+                    vt.mesh.SPHERE_1_MESH, 0)
+    p = tmp_path / "scene.npz"
+    save_scene(str(p), w.device())
+    data = dict(np.load(str(p), allow_pickle=False))
+    data["aux_version"] = np.asarray([1], np.int64)
+    np.savez_compressed(str(p), **data)
+    with pytest.raises(ValueError, match="format v1"):
+        load_scene(str(p))
+    # and a file with no version marker at all (pre-v2) also refuses
+    data.pop("aux_version")
+    np.savez_compressed(str(p), **data)
+    with pytest.raises(ValueError, match="format v1"):
+        load_scene(str(p))
+
+
 def test_native_texture_packer_matches_numpy():
     """C++ texel-quad packer vs the numpy oracle: exact at fine mip levels,
     within a few u8 steps at the deepest mips (float accumulation order)."""

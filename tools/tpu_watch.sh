@@ -6,7 +6,7 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_watch.log
 echo "$(date +%T) tpu_watch started" >> "$LOG"
 while true; do
-  if timeout 150 python -c "import jax; print(jax.default_backend())" 2>/dev/null | grep -q tpu; then
+  if timeout 200 python -c "import bench, sys; sys.exit(0 if bench.probe_is_tpu(150) else 1)" 2>/dev/null; then
     echo "$(date +%T) TPU UP — starting capture" >> "$LOG"
     break
   fi

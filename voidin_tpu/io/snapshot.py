@@ -17,6 +17,10 @@ from ..core.camera import Camera
 from ..scene.scene import SceneData
 
 
+# v2: MeshPoolData gained lod_table/lod_thresh, TlasData gained refit_*.
+SNAPSHOT_VERSION = 2
+
+
 def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
     # Skinning data is rebuilt from assets, not snapshotted (the leaf
     # enumeration below predates skins and load_scene restores skins=()).
@@ -38,6 +42,10 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
          scene.no_normal_maps], bool
     )
     payload["aux_mesh_flags"] = np.asarray([scene.meshes.has_lods], bool)
+    # Bump when pytree fields change: old files CANNOT load anyway (the
+    # leaf_i stream misaligns against the new dataclass fields), so load
+    # fails loudly on a version mismatch instead of corrupting silently.
+    payload["aux_version"] = np.asarray([SNAPSHOT_VERSION], np.int64)
     if camera is not None:
         payload["cam"] = np.asarray(
             [*camera.position, camera.yaw, camera.pitch, camera.aspect], np.float32
@@ -54,6 +62,14 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
     from ..scene.texture import TexturePoolData
 
     data = np.load(path, allow_pickle=False)
+    version = int(data["aux_version"][0]) if "aux_version" in data else 1
+    if version != SNAPSHOT_VERSION:
+        raise ValueError(
+            f"snapshot {path!r} is format v{version}, this build reads "
+            f"v{SNAPSHOT_VERSION}; the flat leaf stream misaligns across "
+            f"versions (pytree fields changed) — re-save the scene with "
+            f"this build"
+        )
     # Rebuild the treedef from a structurally-identical dummy: field order
     # of flax dataclasses is deterministic, so flatten order matches.
     has_tlas = bool(data["aux_has_tlas"][0])
@@ -85,11 +101,7 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
                 kwargs[f.name] = next(it)
         return cls(**kwargs)
 
-    mesh_flags = (
-        [bool(x) for x in data["aux_mesh_flags"]]
-        if "aux_mesh_flags" in data
-        else [False]
-    )
+    mesh_flags = [bool(x) for x in data["aux_mesh_flags"]]
     meshes = take(MeshPoolData, static=dict(has_lods=mesh_flags[0]))
     instances = take(InstanceData)
     materials = take(MaterialData)
@@ -108,19 +120,11 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
     ltc2_quads = next(it)
     ltc12_quads = next(it)
     if has_tlas:
-        lv = (
-            data["aux_tlas_levels"] if "aux_tlas_levels" in data
-            else np.zeros((0, 2), np.int64)
-        )
-        levels = tuple((int(s), int(e)) for s, e in lv)
+        levels = tuple((int(s), int(e)) for s, e in data["aux_tlas_levels"])
         tlas = take(TlasData, static=dict(refit_levels=levels))
     else:
         tlas = None
-    flags = (
-        [bool(x) for x in data["aux_flags"]]
-        if "aux_flags" in data
-        else [False] * 4
-    )
+    flags = [bool(x) for x in data["aux_flags"]]
 
     scene = SceneData(
         meshes=meshes,

@@ -33,10 +33,18 @@ class DrawList:
     mesh: jnp.ndarray = struct.field(default=None)
 
 
-def instance_visibility(
-    meshes: MeshPoolData, instances: InstanceData, camera
-) -> jnp.ndarray:
-    """(N,) bool visibility mask (vectorized is_visible)."""
+def view_sphere(meshes: MeshPoolData, instances: InstanceData, camera):
+    """Per-instance view-space bounding sphere: ((N,3) center, (N,) radius).
+
+    Shared by culling and LOD selection so the two can never disagree on
+    an instance's bounds.
+
+    NOTE deliberate fix vs the reference: emit_draws.wgsl:15-21 overwrites
+    `center` with the *view-space* center before taking
+    distance(mesh.min, center), which inflates the radius with the
+    camera distance and defeats culling for distant instances. The
+    intended bounding-sphere radius is from the *object-space* center.
+    """
     transform = instances.transform  # (N, 4, 4)
     mesh_id = instances.mesh_id
     mn = meshes.mesh_min[mesh_id]  # (N, 3)
@@ -49,12 +57,15 @@ def instance_visibility(
 
     scale = mathx.extract_scale(transform, xp=jnp)  # (N, 3)
     max_scale = jnp.max(jnp.abs(scale), axis=-1)
-    # NOTE deliberate fix vs the reference: emit_draws.wgsl:15-21 overwrites
-    # `center` with the *view-space* center before taking
-    # distance(mesh.min, center), which inflates the radius with the
-    # camera distance and defeats culling for distant instances. The
-    # intended bounding-sphere radius is from the *object-space* center.
     radius = jnp.linalg.norm((mx - mn) * 0.5, axis=-1) * max_scale
+    return center, radius
+
+
+def instance_visibility(
+    meshes: MeshPoolData, instances: InstanceData, camera
+) -> jnp.ndarray:
+    """(N,) bool visibility mask (vectorized is_visible)."""
+    center, radius = view_sphere(meshes, instances, camera)
 
     fr = jnp.asarray(camera.frustum)
     visible_x = center[:, 2] * fr[1] - jnp.abs(center[:, 0]) * fr[0] >= -radius
@@ -92,20 +103,11 @@ def select_lod(
     is a simple predicate sum. Far instances then rasterize a coarser mesh,
     keeping live triangle counts (and therefore capacities) small on
     many-instance scenes."""
-    transform = instances.transform
-    mesh_id = instances.mesh_id
-    mn = meshes.mesh_min[mesh_id]
-    mx = meshes.mesh_max[mesh_id]
-    center_obj = (mn + mx) * 0.5
-    view = jnp.asarray(camera.view)
-    vm = fastmath.compose_mat4(view, transform)
-    center = fastmath.mat4_point(vm, center_obj)
+    center, radius = view_sphere(meshes, instances, camera)
     dist = jnp.linalg.norm(center, axis=-1)
-    scale = mathx.extract_scale(transform, xp=jnp)
-    max_scale = jnp.max(jnp.abs(scale), axis=-1)
-    radius = jnp.linalg.norm((mx - mn) * 0.5, axis=-1) * max_scale
     ratio = dist / jnp.maximum(radius, 1e-6)
 
+    mesh_id = instances.mesh_id
     table = meshes.lod_table[mesh_id]  # (N, 4)
     thresh = meshes.lod_thresh[mesh_id]  # (N, 4)
     engaged = (table[:, 1:] >= 0) & (ratio[:, None] >= thresh[:, 1:])
