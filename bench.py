@@ -75,6 +75,49 @@ def probe_is_tpu(timeout_s=150.0) -> bool:
     return backend == "tpu"
 
 
+# Perf-option variants swept by tools/ab_options.py on the north-star frame.
+# name -> (RasterConfig overrides, shading.LTC_LUT_BF16, area_light_scale).
+# Every variant is image-budget-tested: fused_rec is bit-identical
+# (tests/test_raster.py test_fused_resolve_rec_matches_default), ltc_bf16
+# stays under the 1e-2 budget (tests/test_ltc.py test_ltc_lut_bf16_...),
+# area_half is a documented deviation tested to mean < 5e-3
+# (test_half_res_area_lights_close_to_full_res).
+AB_VARIANTS = {
+    "base": (dict(), False, 1),
+    "fused_rec": (dict(fused_resolve_rec=True), False, 1),
+    "ltc_bf16": (dict(), True, 1),
+    "area_half": (dict(), False, 2),
+    "all": (dict(fused_resolve_rec=True), True, 2),
+}
+
+
+def tuned_options(path=None):
+    """The fastest measured variant from AB_OPTIONS.json (written by
+    tools/ab_options.py once the TPU answers — tools/tpu_watch.sh runs it),
+    falling back to 'base' when no TPU capture exists. Lets the official
+    north-star number automatically use the sweep winner without guessing
+    option defaults from a dead tunnel."""
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "AB_OPTIONS.json")
+    name = "base"
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("backend") == "tpu":
+            ms = {
+                k: v for k, v in d.get("ms_per_variant", {}).items()
+                if k in AB_VARIANTS and isinstance(v, (int, float))
+            }
+            if ms:
+                name = min(ms, key=ms.get)
+    except Exception:
+        pass
+    return name, AB_VARIANTS[name]
+
+
 def acquire_backend(total_budget_s=900.0, insurance_metric=None):
     """Initialize the JAX backend with patience measured in MINUTES.
 
@@ -309,15 +352,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE config 1-5; 0 = north-star 10k scene")
+    ap.add_argument("--smoke", action="store_true",
+                    help="drive the EXACT north-star wiring (incl. the A/B "
+                    "winner application) at tiny scale on CPU — a minutes-"
+                    "scale verification run, not a measurement")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
     if args.config:
         return run_preset(args.config)
 
-    backend = acquire_backend(
-        insurance_metric="ms/frame 1080p 10k-instance culled scene "
-        "(cull+raster+shade+TAA)"
-    )
+    if args.smoke:
+        # No probing: the probe subprocess can't inherit the CPU pin (the
+        # JAX_PLATFORMS env var is ignored on this image) and would wait
+        # out the whole tunnel budget. Smoke is CPU by definition.
+        jax.config.update("jax_platforms", "cpu")
+        backend = "cpu"
+    else:
+        backend = acquire_backend(
+            insurance_metric="ms/frame 1080p 10k-instance culled scene "
+            "(cull+raster+shade+TAA)"
+        )
     if backend == "cpu-fallback":
         # TPU never answered within the budget. A 1080p interpret-mode CPU
         # measurement is meaningless for the TPU metric and could outlive
@@ -335,18 +389,31 @@ def main():
             )
         )
         return
-    world, moving = build_world()
+    world, moving = build_world(n_instances=300 if args.smoke else 10_000)
+    ab_name, (ab_cfg, ab_bf16, ab_ascale) = tuned_options()
+    if args.smoke:
+        # exercise every option path regardless of what the sweep found
+        ab_name, (ab_cfg, ab_bf16, ab_ascale) = "all", AB_VARIANTS["all"]
+    if ab_name != "base":
+        from voidin_tpu.passes import shading
+
+        shading.LTC_LUT_BF16 = ab_bf16
+        print(f"# applying A/B sweep winner: {ab_name}", file=sys.stderr)
+    W, H = (320, 184) if args.smoke else (1920, 1080)
+    cap = 1 << (14 if args.smoke else 19)
     cfg = RasterConfig(
-        width=1920,
-        height=1080,
-        tri_capacity=1 << 19,  # ~204k live LOD-selected tris (was 1.1M)
-        pair_capacity=1 << 19,  # ops cost by capacity; overflow checked 0
+        width=W,
+        height=H,
+        tri_capacity=cap,  # ~204k live LOD-selected tris (was 1.1M)
+        pair_capacity=cap,  # ops cost by capacity; overflow checked 0
         tile_tri_capacity=128,
         interpret=backend == "cpu",
+        **ab_cfg,
     )
-    r = Renderer(world.device(), cfg, moving_ids=moving)
+    r = Renderer(world.device(), cfg, moving_ids=moving,
+                 area_light_scale=ab_ascale)
     cam = vt.Camera(
-        position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0, aspect=1920 / 1080
+        position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0, aspect=W / H
     )
 
     # Warmup / compile. NOTE: block_until_ready is a NO-OP on the axon
@@ -382,6 +449,8 @@ def main():
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.6 / ms, 4),
+                "options": ab_name,
+                **({"smoke": True} if args.smoke else {}),
             }
         )
     )

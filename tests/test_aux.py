@@ -109,3 +109,36 @@ def test_ltc_polygon_annulus():
     a = shading.ltc_evaluate_polygon(scene, nor, view, pos, ident, pts)
     b = shading.ltc_evaluate_rect(scene, nor, view, pos, ident, pts)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_bench_tuned_options(tmp_path):
+    """bench.tuned_options picks the fastest TPU-measured A/B variant and
+    falls back to 'base' for missing/CPU/malformed captures (the official
+    number must never silently depend on an unmeasured guess)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    p = str(tmp_path / "AB_OPTIONS.json")
+    # no file -> base
+    assert bench.tuned_options(p)[0] == "base"
+    # cpu capture -> base (only TPU timings may steer the TPU metric)
+    with open(p, "w") as f:
+        json.dump({"backend": "cpu",
+                   "ms_per_variant": {"base": 10, "all": 5}}, f)
+    assert bench.tuned_options(p)[0] == "base"
+    # tpu capture -> fastest variant wins
+    with open(p, "w") as f:
+        json.dump({"backend": "tpu",
+                   "ms_per_variant": {"base": 10, "fused_rec": 8,
+                                      "all": 5.5}}, f)
+    name, opts = bench.tuned_options(p)
+    assert name == "all" and opts == (dict(fused_resolve_rec=True), True, 2)
+    # malformed -> base
+    with open(p, "w") as f:
+        f.write("not json")
+    assert bench.tuned_options(p)[0] == "base"

@@ -13,9 +13,12 @@ while true; do
   echo "$(date +%T) tpu down" >> "$LOG"
   sleep 240
 done
+# Sweep first: bench.py reads AB_OPTIONS.json (tuned_options) so the
+# north-star capture below — and the driver's own bench.py run at round
+# end — use the measured winner.
+timeout 2400 python -u tools/ab_options.py >> "$LOG" 2>&1
+echo "$(date +%T) ab_options done" >> "$LOG"
 python -u tools/bench_all.py --out BENCH_CONFIGS.json >> "$LOG" 2>&1
 echo "$(date +%T) bench_all done" >> "$LOG"
 timeout 3000 python -u tools/bisect_frame.py --out BENCH_DETAIL.json >> "$LOG" 2>&1
-echo "$(date +%T) bisect done" >> "$LOG"
-timeout 2400 python -u tools/ab_options.py >> "$LOG" 2>&1
-echo "$(date +%T) ab_options done — ALL CAPTURES COMPLETE" >> "$LOG"
+echo "$(date +%T) bisect done — ALL CAPTURES COMPLETE" >> "$LOG"
