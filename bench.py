@@ -85,9 +85,10 @@ def probe_is_tpu(timeout_s=150.0) -> bool:
 AB_VARIANTS = {
     "base": (dict(), False, 1),
     "fused_rec": (dict(fused_resolve_rec=True), False, 1),
+    "inst_f16": (dict(inst_rec_f16=True), False, 1),
     "ltc_bf16": (dict(), True, 1),
     "area_half": (dict(), False, 2),
-    "all": (dict(fused_resolve_rec=True), True, 2),
+    "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2),
 }
 
 
@@ -257,8 +258,11 @@ def build_world(n_instances=10_000, seed=0):
     return w, np.asarray(moving, np.int32)
 
 
-def run_preset(n, profile=False):
-    """Run one of the five BASELINE configs via the preset system."""
+def run_preset(n, profile=False, rt_scale=0):
+    """Run one of the five BASELINE configs via the preset system.
+    rt_scale > 0 overrides the preset's rt_shadow_scale (config-5
+    feasibility fallback: half-res shadow rays, a documented deviation
+    tested in tests/test_traverse.py)."""
     import time
 
     import jax
@@ -287,6 +291,10 @@ def run_preset(n, profile=False):
         )
         return
     p = PRESETS[n](1920 / 1080)
+    if rt_scale:
+        import dataclasses as _dc
+
+        p = _dc.replace(p, rt_shadow_scale=rt_scale)
     cfg = RasterConfig(
         width=1920,
         height=1080,
@@ -327,10 +335,11 @@ def run_preset(n, profile=False):
         f"coverage={int(r.aux['vis_coverage'])}",
         file=sys.stderr,
     )
+    suffix = f" (rt_shadow_scale={rt_scale})" if rt_scale else ""
     print(
         json.dumps(
             {
-                "metric": f"ms/frame 1080p BASELINE config {n}",
+                "metric": f"ms/frame 1080p BASELINE config {n}{suffix}",
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.6 / ms, 4),
@@ -352,6 +361,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE config 1-5; 0 = north-star 10k scene")
+    ap.add_argument("--rt-scale", type=int, default=0,
+                    help="override preset rt_shadow_scale (2 = half-res "
+                    "shadow rays, documented deviation)")
     ap.add_argument("--smoke", action="store_true",
                     help="drive the EXACT north-star wiring (incl. the A/B "
                     "winner application) at tiny scale on CPU — a minutes-"
@@ -359,7 +371,7 @@ def main():
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
     if args.config:
-        return run_preset(args.config)
+        return run_preset(args.config, rt_scale=args.rt_scale)
 
     if args.smoke:
         # No probing: the probe subprocess can't inherit the CPU pin (the
@@ -462,6 +474,8 @@ if __name__ == "__main__":
     except BaseException as e:  # noqa: BLE001 — the driver contract is ONE
         # JSON line no matter what; a traceback-only exit loses the round's
         # official number (this killed BENCH_r02).
+        if isinstance(e, SystemExit) and not e.code:
+            raise  # clean exits (--help) are not failures
         import traceback
 
         traceback.print_exc(file=sys.stderr)

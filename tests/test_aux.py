@@ -137,7 +137,7 @@ def test_bench_tuned_options(tmp_path):
                    "ms_per_variant": {"base": 10, "fused_rec": 8,
                                       "all": 5.5}}, f)
     name, opts = bench.tuned_options(p)
-    assert name == "all" and opts == (dict(fused_resolve_rec=True), True, 2)
+    assert name == "all" and opts == bench.AB_VARIANTS["all"]
     # malformed -> base
     with open(p, "w") as f:
         f.write("not json")

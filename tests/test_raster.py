@@ -460,6 +460,46 @@ def test_fused_resolve_rec_matches_default():
                                   np.asarray(aux_f.albedo))
 
 
+def test_inst_rec_f16_close_to_f32():
+    """inst_rec_f16=True (fused instance record packed as f16 pairs, 48 B
+    rows): ids and material selection must be EXACT; interpolated basis /
+    color fields stay well inside the 1e-2 image budget."""
+    import dataclasses
+
+    from voidin_tpu.passes import resolve
+
+    w = _scene()
+    scene = w.device()
+    cam = _camera(CFG.width / CFG.height)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+
+    def gb_of(cfg):
+        vis = raster.rasterize(scene.meshes, scene.instances, draws, cam, cfg)
+        return resolve.resolve_gbuffer(scene, vis, cam, cfg)
+
+    gb_d, aux_d = gb_of(CFG)
+    gb_h, aux_h = gb_of(dataclasses.replace(CFG, inst_rec_f16=True))
+    # discrete fields exact: material id, and depth (not touched by irec)
+    np.testing.assert_array_equal(np.asarray(gb_d.material),
+                                  np.asarray(gb_h.material))
+    np.testing.assert_array_equal(np.asarray(gb_d.depth),
+                                  np.asarray(gb_h.depth))
+    # albedo: only lod selection can shift (f16 basis -> uv unchanged;
+    # extent exact for pow2 textures) — require near-equality
+    da = np.abs(np.asarray(aux_d.albedo) - np.asarray(aux_h.albedo))
+    assert da.max() < 1e-2, da.max()
+    # packed normals: octahedral u32 differs only in low bits; decode and
+    # compare as vectors
+    from voidin_tpu.core import encoding
+
+    n_d = np.asarray(encoding.decode_octahedral_32(gb_d.normal_uv[..., 0]))
+    n_h = np.asarray(encoding.decode_octahedral_32(gb_h.normal_uv[..., 0]))
+    assert np.abs(n_d - n_h).max() < 2e-2, np.abs(n_d - n_h).max()
+    # uv packing identical (uv never passes through the f16 record)
+    np.testing.assert_array_equal(np.asarray(gb_d.normal_uv[..., 1]),
+                                  np.asarray(gb_h.normal_uv[..., 1]))
+
+
 def test_auto_lod_decimation():
     """decimate_grid + add_with_auto_lods: coarse levels shrink triangle
     counts substantially, keep the AABB, and render through the LOD path."""

@@ -3,9 +3,13 @@
 
   base                 — current defaults
   fused_rec            — RasterConfig.fused_resolve_rec (96 B resolve rows)
+  inst_f16             — RasterConfig.inst_rec_f16 (48 B f16 fused record)
   ltc_bf16             — shading.LTC_LUT_BF16 (bf16 LUT weight matrices)
   area_half            — area_light_scale=2 (flagged deviation)
   all                  — everything on
+
+The variant list lives in bench.AB_VARIANTS; bench.py applies the winner
+from AB_OPTIONS.json to the official north-star run.
 
 Usage: python -u tools/ab_options.py [--cpu]
 Honest timing only via tools/tpu_timeit.slope_time (block_until_ready is
@@ -63,13 +67,11 @@ def main():
     moving_j = jnp.asarray(moving)
     g = Globals.make(cfg0.width, cfg0.height, frame=1, time=1.0, dt=0.0)
 
-    variants = [
-        ("base", dict(), False, 1),
-        ("fused_rec", dict(fused_resolve_rec=True), False, 1),
-        ("ltc_bf16", dict(), True, 1),
-        ("area_half", dict(), False, 2),
-        ("all", dict(fused_resolve_rec=True), True, 2),
-    ]
+    # Single source of truth: bench.AB_VARIANTS (bench.tuned_options applies
+    # the winner this sweep finds).
+    from bench import AB_VARIANTS
+
+    variants = [(name, *opts) for name, opts in AB_VARIANTS.items()]
     print(f"backend={backend}")
     results = {}
     for name, cfg_kw, bf16, ascale in variants:

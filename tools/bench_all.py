@@ -19,7 +19,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_one(arg):
     cmd = [sys.executable, "-u", os.path.join(ROOT, "bench.py")]
-    if arg:
+    if arg == "5h":  # config-5 feasibility fallback: half-res shadow rays
+        cmd += ["--config", "5", "--rt-scale", "2"]
+    elif arg:
         cmd += ["--config", str(arg)]
     try:
         p = subprocess.run(
@@ -42,11 +44,11 @@ def run_one(arg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_CONFIGS.json"))
-    ap.add_argument("--configs", default="0,1,2,3,4,5")
+    ap.add_argument("--configs", default="0,1,2,3,4,5,5h")
     args = ap.parse_args()
 
     results = []
-    for c in [int(x) for x in args.configs.split(",")]:
+    for c in [x if x == "5h" else int(x) for x in args.configs.split(",")]:
         print(f"# running config {c} ...", flush=True)
         r = run_one(c)
         print(json.dumps(r), flush=True)

@@ -83,6 +83,13 @@ class RasterConfig:
     # (48 B rows gather ~25% faster than 64 B — the win is not obvious;
     # A/B on TPU before enabling).
     fused_resolve_rec: bool = False
+    # Pack the fused per-instance record (resolve._inst_rec, 24 f32 =
+    # 96 B) as f16 pairs bitcast into 12 u32 columns = 48 B — ONE
+    # flat-rate gather row per pixel instead of a 96 B row. f16 keeps
+    # ids (< 2048) and texture extents exact; basis/color fields land
+    # well inside the 1e-2 image budget (test_inst_rec_f16_...). A/B on
+    # TPU before enabling.
+    inst_rec_f16: bool = False
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W

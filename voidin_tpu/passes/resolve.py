@@ -94,8 +94,22 @@ def _inst_rec(scene: SceneData):
     )  # (N, 24)
 
 
+def _inst_rec_f16(scene: SceneData):
+    """RasterConfig.inst_rec_f16: the fused record as f16 pairs bitcast
+    into 12 u32 columns — 48 B rows, ONE flat-rate gather instead of a
+    96 B row. f16 keeps ids (exact < 2048; MAX_TEXTURES is 1024) and
+    power-of-two texture extents exact; basis/color fields carry ~1e-3
+    relative error, inside the 1e-2 image budget."""
+    rec = _inst_rec(scene).astype(jnp.float16)  # (N, 24)
+    n = rec.shape[0]
+    return jax.lax.bitcast_convert_type(
+        rec.reshape(n, 12, 2), jnp.uint32
+    )  # (N, 12)
+
+
 def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
-                  x_ndc, y_ndc, want_aux: bool = True, lod_probe=None):
+                  x_ndc, y_ndc, want_aux: bool = True, lod_probe=None,
+                  inst_f16: bool = False):
     """Core per-pixel resolve for an arbitrary pixel-set shape S.
 
     tri_id/depth: shape S (raw ids, -1 = background). x_ndc/y_ndc: NDC
@@ -147,7 +161,13 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
     uv = jnp.sum(uv_c * lam_p[..., None], axis=-2)
 
     # Gather 3: fused instance+material record (see _inst_rec).
-    irec = _inst_rec(scene)[inst]  # (*S, 24)
+    if inst_f16:
+        pk_i = _inst_rec_f16(scene)[inst]  # (*S, 12) u32
+        irec = jax.lax.bitcast_convert_type(pk_i, jnp.float16).reshape(
+            S + (24,)
+        ).astype(jnp.float32)
+    else:
+        irec = _inst_rec(scene)[inst]  # (*S, 24)
     basis = irec[..., :9].reshape(S + (3, 3))
     material_id = irec[..., 9].astype(jnp.int32)
     mat_albedo = irec[..., 10].astype(jnp.int32)
@@ -320,10 +340,11 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
     y_ndc = (1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0)[:, None]
     x_ndc = jnp.broadcast_to(x_ndc, (H, W))
     y_ndc = jnp.broadcast_to(y_ndc, (H, W))
+    f16 = getattr(config, "inst_rec_f16", False)
 
     if vis.tri_id2 is None:
         fields = _pixel_fields(scene, vis, vis.tri_id, vis.depth,
-                               x_ndc, y_ndc)
+                               x_ndc, y_ndc, inst_f16=f16)
         return _assemble(fields)
 
     if not getattr(config, "lazy_alpha_resolve", False):
@@ -331,17 +352,19 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
         # path): pass 1 finds cut winners, pass 2 re-resolves every pixel
         # with the runner-up substituted.
         f1 = _pixel_fields(scene, vis, vis.tri_id, vis.depth, x_ndc, y_ndc,
-                           want_aux=False)
+                           want_aux=False, inst_f16=f16)
         fall = (vis.tri_id >= 0) & f1["cut"]
         tid = jnp.where(fall, vis.tri_id2, vis.tri_id)
         dep = jnp.where(fall, vis.depth2, vis.depth)
-        fields = _pixel_fields(scene, vis, tid, dep, x_ndc, y_ndc)
+        fields = _pixel_fields(scene, vis, tid, dep, x_ndc, y_ndc,
+                               inst_f16=f16)
         return _assemble(fields)
 
     # Lazy fallback: full resolve of the winners (this IS the final result
     # for every non-cut pixel), then a compacted flat batch over the cut
     # pixels only, scattered back as packed rows.
-    f1 = _pixel_fields(scene, vis, vis.tri_id, vis.depth, x_ndc, y_ndc)
+    f1 = _pixel_fields(scene, vis, vis.tri_id, vis.depth, x_ndc, y_ndc,
+                       inst_f16=f16)
     fall = (vis.tri_id >= 0) & f1["cut"]
     F = config.alpha_fallback_capacity or max((H * W) // 16, 1024)
 
@@ -356,7 +379,7 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
     xb = (fx + 0.5) / W * 2.0 - 1.0
     yb = 1.0 - (fy + 0.5) / H * 2.0
     fb = _pixel_fields(scene, vis, tid2, dep2, xb, yb,
-                       lod_probe=(2.0 / W, 2.0 / H))
+                       lod_probe=(2.0 / W, 2.0 / H), inst_f16=f16)
     rows = _pack_fallback_rows(fb)
 
     buf = jnp.zeros((H * W, _FB_F), jnp.uint32)
