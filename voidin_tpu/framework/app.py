@@ -5,7 +5,8 @@ User-facing equivalent of the reference's L5 API
 init / setup_scene / update / resize / render hooks, and `run()` drives the
 fixed-timestep loop (UPDATES_PER_SECOND = 60, MAX_FRAME_TIME clamp,
 lib.rs:41-43). There is no window on a TPU host, so the runner is headless:
-frames go to the recorder (mp4 via ffmpeg), to PNG screenshots, or nowhere
+frames go to the recorder (mp4 via ffmpeg, MJPEG-AVI without it), to
+PNG screenshots, or nowhere
 (benchmarking); an interactive viewer can drive `App.step()` manually.
 """
 

@@ -1,9 +1,10 @@
 """Frame recorder: pipes raw frames into ffmpeg on a background thread.
 
 Same design as the reference Recorder (components/src/recorder.rs:24-224):
-a worker thread drains a queue of RGBA frames into a spawned ffmpeg; it
-degrades gracefully to PNG sequences when ffmpeg is unavailable
-(recorder.rs:33-46).
+a worker thread drains a queue of RGBA frames into a spawned ffmpeg. When
+ffmpeg is unavailable (the reference degrades to PNG screenshots,
+recorder.rs:33-46) video paths still produce a VIDEO via the dependency-
+free MJPEG-AVI writer (io/avi.py); directory paths produce PNG sequences.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ class Recorder:
         self._thread: Optional[threading.Thread] = None
         self._proc = None
         self._png_dir: Optional[str] = None
+        self._avi = None
         self._count = 0
 
     @property
@@ -60,6 +62,14 @@ class Recorder:
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
             )
+        elif path.endswith((".mp4", ".mkv", ".webm", ".avi")):
+            # no ffmpeg: still deliver a video, not a PNG pile
+            from ..io.avi import MjpegAviWriter
+
+            out = path if path.endswith(".avi") else (
+                os.path.splitext(path)[0] + ".avi"
+            )
+            self._avi = MjpegAviWriter(out, self.width, self.height, self.fps)
         else:
             self._png_dir = path if os.path.isdir(path) else os.path.splitext(path)[0]
             os.makedirs(self._png_dir, exist_ok=True)
@@ -84,6 +94,8 @@ class Recorder:
                     self._proc.stdin.write(rgb.tobytes())
                 except BrokenPipeError:
                     pass
+            elif self._avi is not None:
+                self._avi.write(rgb)
             else:
                 save_png(
                     os.path.join(self._png_dir, f"frame_{self._count:05d}.png"), rgb
@@ -100,3 +112,6 @@ class Recorder:
             self._proc.stdin.close()
             self._proc.wait()
             self._proc = None
+        if self._avi is not None:
+            self._avi.close()
+            self._avi = None
