@@ -121,9 +121,6 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
             f"(pad height to a multiple of {config.tile_h * n_dev})"
         )
     rows_per = TY // n_dev
-    NT_local = -(-(rows_per * TX) // config.tiles_per_step) * (
-        config.tiles_per_step
-    )
     track2 = config.alpha_mask
 
     setup = raster_pass.triangle_setup(
