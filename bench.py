@@ -92,6 +92,17 @@ AB_VARIANTS = {
 }
 
 
+def ab_variants_stamp():
+    """Canonical JSON-stable description of AB_VARIANTS, written into
+    AB_OPTIONS.json by the sweep and REQUIRED to match by tuned_options —
+    a capture taken before a variant's definition changed must not steer
+    the official run (it measured something else)."""
+    return {
+        name: [sorted(cfg.items()), bool(bf16), int(ascale)]
+        for name, (cfg, bf16, ascale) in AB_VARIANTS.items()
+    }
+
+
 def tuned_options(path=None):
     """The fastest measured variant from AB_OPTIONS.json (written by
     tools/ab_options.py once the TPU answers — tools/tpu_watch.sh runs it),
@@ -107,7 +118,12 @@ def tuned_options(path=None):
     try:
         with open(path) as f:
             d = json.load(f)
-        if d.get("backend") == "tpu":
+        # the capture must describe the SAME variant definitions this
+        # build would apply (json roundtrip: tuples become lists)
+        stamp_ok = d.get("variants") == json.loads(
+            json.dumps(ab_variants_stamp())
+        )
+        if d.get("backend") == "tpu" and stamp_ok:
             ms = {
                 k: v for k, v in d.get("ms_per_variant", {}).items()
                 if k in AB_VARIANTS and isinstance(v, (int, float))
@@ -274,14 +290,14 @@ def run_preset(n, profile=False, rt_scale=0):
     from voidin_tpu.framework.renderer import Renderer
     from voidin_tpu.passes.raster import RasterConfig
 
-    backend = acquire_backend(
-        insurance_metric=f"ms/frame 1080p BASELINE config {n}"
-    )
+    suffix = f" (rt_shadow_scale={rt_scale})" if rt_scale else ""
+    metric = f"ms/frame 1080p BASELINE config {n}{suffix}"
+    backend = acquire_backend(insurance_metric=metric)
     if backend == "cpu-fallback":
         print(
             json.dumps(
                 {
-                    "metric": f"ms/frame 1080p BASELINE config {n}",
+                    "metric": metric,
                     "value": None,
                     "unit": "ms",
                     "vs_baseline": 0.0,
@@ -335,11 +351,10 @@ def run_preset(n, profile=False, rt_scale=0):
         f"coverage={int(r.aux['vis_coverage'])}",
         file=sys.stderr,
     )
-    suffix = f" (rt_shadow_scale={rt_scale})" if rt_scale else ""
     print(
         json.dumps(
             {
-                "metric": f"ms/frame 1080p BASELINE config {n}{suffix}",
+                "metric": metric,
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.6 / ms, 4),
@@ -454,10 +469,14 @@ def main():
         f"coverage={int(r.aux['vis_coverage'])}",
         file=sys.stderr,
     )
+    metric = "ms/frame 1080p 10k-instance culled scene (cull+raster+shade+TAA)"
+    if args.smoke:
+        # never report the official metric string for a tiny CPU run
+        metric = f"SMOKE {W}x{H} {backend} culled scene (not a measurement)"
     print(
         json.dumps(
             {
-                "metric": "ms/frame 1080p 10k-instance culled scene (cull+raster+shade+TAA)",
+                "metric": metric,
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.6 / ms, 4),

@@ -131,9 +131,21 @@ def test_bench_tuned_options(tmp_path):
         json.dump({"backend": "cpu",
                    "ms_per_variant": {"base": 10, "all": 5}}, f)
     assert bench.tuned_options(p)[0] == "base"
-    # tpu capture -> fastest variant wins
+    # tpu capture without a matching variant-definition stamp -> base
+    # (a capture from an older build measured different semantics)
     with open(p, "w") as f:
         json.dump({"backend": "tpu",
+                   "ms_per_variant": {"base": 10, "all": 5.5}}, f)
+    assert bench.tuned_options(p)[0] == "base"
+    with open(p, "w") as f:
+        stale = json.loads(json.dumps(bench.ab_variants_stamp()))
+        stale["all"][1] = not stale["all"][1]
+        json.dump({"backend": "tpu", "variants": stale,
+                   "ms_per_variant": {"base": 10, "all": 5.5}}, f)
+    assert bench.tuned_options(p)[0] == "base"
+    # tpu capture with the current stamp -> fastest variant wins
+    with open(p, "w") as f:
+        json.dump({"backend": "tpu", "variants": bench.ab_variants_stamp(),
                    "ms_per_variant": {"base": 10, "fused_rec": 8,
                                       "all": 5.5}}, f)
     name, opts = bench.tuned_options(p)

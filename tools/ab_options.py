@@ -96,12 +96,17 @@ def main():
 
     import json
 
+    from bench import ab_variants_stamp
+
     with open(args.out, "w") as f:
         json.dump(
             {
                 "backend": backend,
                 "scene": "north-star 10k instances 1080p",
                 "method": "tools/tpu_timeit.slope_time",
+                # definition stamp: bench.tuned_options refuses captures
+                # whose variant definitions differ from the current build
+                "variants": ab_variants_stamp(),
                 "ms_per_variant": {k: round(v, 3) for k, v in results.items()},
             },
             f,

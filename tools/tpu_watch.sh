@@ -15,10 +15,14 @@ while true; do
 done
 # Guard first: compiled-vs-interpret bit-exactness of the Pallas kernel
 # on the real hardware (Mosaic has miscompiled patterns before) — numbers
-# from a wrong image are worse than no numbers.
-timeout 1800 python -u tools/check_kernel_hw.py >> "$LOG" 2>&1 \
-  && echo "$(date +%T) kernel hw check OK" >> "$LOG" \
-  || echo "$(date +%T) kernel hw check FAILED — inspect before trusting captures" >> "$LOG"
+# from a wrong image are worse than no numbers, so a FAILED guard SKIPS
+# the captures entirely.
+if timeout 1800 python -u tools/check_kernel_hw.py >> "$LOG" 2>&1; then
+  echo "$(date +%T) kernel hw check OK" >> "$LOG"
+else
+  echo "$(date +%T) kernel hw check FAILED — captures SKIPPED (fix the kernel first)" >> "$LOG"
+  exit 1
+fi
 # Sweep first: bench.py reads AB_OPTIONS.json (tuned_options) so the
 # north-star capture below — and the driver's own bench.py run at round
 # end — use the measured winner.

@@ -30,13 +30,18 @@ class Recorder:
         self._png_dir: Optional[str] = None
         self._avi = None
         self._count = 0
+        self.out_path: Optional[str] = None  # actual destination, set by start()
 
     @property
     def ffmpeg_available(self) -> bool:
         return shutil.which("ffmpeg") is not None
 
-    def start(self, path: str):
+    def start(self, path: str) -> str:
+        """Begin recording; returns the ACTUAL output path (without ffmpeg
+        a video path is rewritten to .avi, a non-video path becomes a PNG
+        directory — callers must use the return value, not `path`)."""
         self._count = 0
+        self.out_path = path
         if self.ffmpeg_available and path.endswith((".mp4", ".mkv", ".webm")):
             self._proc = subprocess.Popen(
                 [
@@ -69,12 +74,22 @@ class Recorder:
             out = path if path.endswith(".avi") else (
                 os.path.splitext(path)[0] + ".avi"
             )
+            if out != path:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "no ffmpeg: recording MJPEG-AVI to %s instead of %s",
+                    out, path,
+                )
+            self.out_path = out
             self._avi = MjpegAviWriter(out, self.width, self.height, self.fps)
         else:
             self._png_dir = path if os.path.isdir(path) else os.path.splitext(path)[0]
             os.makedirs(self._png_dir, exist_ok=True)
+            self.out_path = self._png_dir
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        return self.out_path
 
     def push(self, frame: np.ndarray):
         self._queue.put(np.asarray(frame))

@@ -100,6 +100,17 @@ def _inst_rec_f16(scene: SceneData):
     96 B row. f16 keeps ids (exact < 2048; MAX_TEXTURES is 1024) and
     power-of-two texture extents exact; basis/color fields carry ~1e-3
     relative error, inside the 1e-2 image budget."""
+    # f16 integers are exact only up to 2048 — ids beyond that would
+    # silently select the wrong material/texture. Pool sizes are static,
+    # so fail LOUDLY at trace time instead.
+    n_mats = scene.materials.albedo.shape[0]
+    n_tex = scene.textures.size.shape[0]
+    if n_mats > 2048 or n_tex > 2048:
+        raise ValueError(
+            f"inst_rec_f16 requires material/texture ids < 2048 (f16 "
+            f"integer exactness); scene has {n_mats} materials / "
+            f"{n_tex} textures — disable RasterConfig.inst_rec_f16"
+        )
     rec = _inst_rec(scene).astype(jnp.float16)  # (N, 24)
     n = rec.shape[0]
     return jax.lax.bitcast_convert_type(
