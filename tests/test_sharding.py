@@ -235,3 +235,46 @@ def test_shard_rows_helper_roundtrip():
     y = f(x)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x) * 2.0)
     assert ROW_AXIS in mesh.axis_names
+
+
+def test_sharded_rt_shadows_match_unsharded():
+    """Raytraced shadows under the row-sharded frame: the lock-step TLAS
+    traversal runs over row-sharded per-pixel rays with replicated BVH
+    tables — the traced frame must stay bit-identical to the unsharded
+    one (no sharding constraint may change ray results)."""
+    w = vt.World()
+    w.lights.add_point_light([3, 6, -6], 25.0, [1, 1, 1])
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, 1.2, -8.0])),
+        vt.mesh.SPHERE_1_MESH, 0,
+    )
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, -1, -8])
+                   @ mathx.from_scale(30.0)),
+        vt.mesh.HORIZONTAL_PLANE_MESH, 0,
+    )
+    cfg = RasterConfig(
+        width=WIDTH, height=HEIGHT, tri_capacity=1 << 10,
+        pair_capacity=1 << 11, tile_tri_capacity=64, backend="xla",
+    )
+    scene = w.device(with_tlas=True)
+    cam = vt.Camera(
+        position=[0.0, 2.0, -2.0], yaw=0.0, pitch=-15.0,
+        aspect=WIDTH / HEIGHT,
+    ).uniform()
+    g = Globals.make(WIDTH, HEIGHT, frame=0, time=0.0, dt=1 / 60)
+    state = FrameState.initial(WIDTH, HEIGHT)
+    mv = np.zeros(0, np.int32)
+    args = (scene, cam, g, state, mv)
+
+    kw = dict(config=cfg, enable_taa=False, enable_rt_shadows=True)
+    img_base, _, _, _ = jax.jit(
+        partial(render_frame, mesh=None, **kw))(*args)
+    img_shard, _, _, _ = jax.jit(
+        partial(render_frame, mesh=make_mesh(8), **kw))(*args)
+    a, b = np.asarray(img_base), np.asarray(img_shard)
+    assert np.isfinite(b).all()
+    assert a.std() > 0.01  # scene actually renders something
+    np.testing.assert_array_equal(
+        a, b, err_msg="sharded raytraced frame must be bit-identical"
+    )
