@@ -278,3 +278,43 @@ def test_sharded_rt_shadows_match_unsharded():
     np.testing.assert_array_equal(
         a, b, err_msg="sharded raytraced frame must be bit-identical"
     )
+
+
+def test_sharded_skinned_frame_matches_unsharded():
+    """Vertex skinning inside the row-sharded frame: the skinned pool
+    update + BLAS/mesh-AABB refit run replicated, the per-pixel stages
+    shard — the rendered frame must stay bit-identical to unsharded."""
+    from tests.test_skin import _skinned_world
+    from voidin_tpu.core import mathx as mx
+
+    w, mid = _skinned_world()
+    cfg = RasterConfig(
+        width=WIDTH, height=HEIGHT, tri_capacity=1 << 10,
+        pair_capacity=1 << 11, tile_tri_capacity=64, backend="xla",
+    )
+    scene = w.device()
+    cam = vt.Camera(
+        position=[0.0, 1.0, 4.0], yaw=0.0, pitch=0.0,
+        aspect=WIDTH / HEIGHT,
+    ).uniform()
+    g = Globals.make(WIDTH, HEIGHT, frame=0, time=0.0, dt=1 / 60)
+    state = FrameState.initial(WIDTH, HEIGHT)
+    rot = np.asarray(
+        mx.from_translation([0, 1, 0])
+        @ mx.from_rotation_z(np.float32(np.pi / 3))
+        @ mx.from_translation([0, -1, 0])
+    )
+    jm = jnp.asarray(np.stack([np.eye(4, dtype=np.float32), rot]))
+    args = (scene, cam, g, state, np.zeros(0, np.int32))
+
+    kw = dict(config=cfg, enable_taa=False, joint_mats=jm)
+    img_base, _, _, _ = jax.jit(
+        partial(render_frame, mesh=None, **kw))(*args)
+    img_shard, _, _, _ = jax.jit(
+        partial(render_frame, mesh=make_mesh(8), **kw))(*args)
+    a, b = np.asarray(img_base), np.asarray(img_shard)
+    assert np.isfinite(b).all()
+    assert a.std() > 0.001  # the bent strip is on screen
+    np.testing.assert_array_equal(
+        a, b, err_msg="sharded skinned frame must be bit-identical"
+    )
