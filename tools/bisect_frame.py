@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None,
                     help="write marginals as BENCH_DETAIL-style JSON")
+    ap.add_argument("--variant", default=None,
+                    help="A/B variant to profile (bench.AB_VARIANTS key); "
+                    "default: the AB_OPTIONS.json winner bench.py ships")
     args = ap.parse_args()
 
     import jax
@@ -44,10 +47,22 @@ def main():
     from voidin_tpu.scene.texture import linear_to_srgb
 
     backend = jax.default_backend()
+    # Profile the SAME configuration bench.py ships (the sweep winner),
+    # so BENCH_DETAIL's stage marginals describe the official number.
+    from bench import AB_VARIANTS, tuned_options
+
+    if args.variant:
+        ab_name, (ab_cfg, ab_bf16, ab_ascale) = (
+            args.variant, AB_VARIANTS[args.variant]
+        )
+    else:
+        ab_name, (ab_cfg, ab_bf16, ab_ascale) = tuned_options()
+    shading_pass.LTC_LUT_BF16 = ab_bf16
+    print(f"variant={ab_name}")
     world, moving = build_world()
     cfg = RasterConfig(
         width=1920, height=1080, tri_capacity=1 << 19, pair_capacity=1 << 19,
-        tile_tri_capacity=128, interpret=backend == "cpu",
+        tile_tri_capacity=128, interpret=backend == "cpu", **ab_cfg,
     )
     scene = world.device()
     cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
@@ -96,7 +111,8 @@ def main():
                 return (gb.depth.sum() + gb.material.sum()
                         + gb.normal_uv.sum() + aux.albedo.sum()
                         + aux.emissive.sum() + aux.mr.sum())
-            hdr = shading_pass.shade(scene, gb, camera, aux=aux)
+            hdr = shading_pass.shade(scene, gb, camera, aux=aux,
+                                     area_light_scale=ab_ascale)
             if stage == "shade":
                 return hdr.sum()
             hdr2, _st = taa_pass.taa(hdr, gb, camera, state)
@@ -148,7 +164,8 @@ def main():
     moving_j = jnp.asarray(moving)
 
     def whole(sc, cam_u, g, st, mov):
-        return render_frame(sc, cam_u, g, st, mov, cfg)
+        return render_frame(sc, cam_u, g, st, mov, cfg,
+                            area_light_scale=ab_ascale)
 
     for label, jit_kwargs in (
         ("render_frame (donate)", dict(donate_argnums=(0, 3))),
@@ -186,6 +203,7 @@ def main():
             json.dump(
                 {
                     "backend": backend,
+                    "variant": ab_name,
                     "scene": "north-star 10k instances 1080p",
                     "method": "in-context cumulative slope (tools/bisect_frame.py)",
                     "stage_marginal_ms": marginals,
