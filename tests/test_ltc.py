@@ -430,3 +430,53 @@ def test_ltc_lut_bf16_close_to_f32():
     # measured ~7e-3 worst pixel on this scene — inside the 1e-2 budget
     assert diff.max() < 1e-2, diff.max()
     assert diff.mean() < 2e-4, diff.mean()
+
+
+def test_ab_all_variant_close_to_base():
+    """The 'all' A/B variant (fused resolve record + f16 instance record +
+    bf16 LTC LUT weights + half-res area lights) COMPOSED must stay inside
+    the 1e-2 mean budget on the area-lit golden scene — the per-option
+    tests cannot catch interaction effects, and bench.py may ship exactly
+    this composition."""
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    import bench as bench_mod
+    import voidin_tpu as vt
+    from tests.test_golden import CFG, _deferred_scene
+    from voidin_tpu.framework.renderer import Renderer
+    from voidin_tpu.passes import shading
+
+    w = _deferred_scene()
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0,
+                    aspect=CFG.width / CFG.height)
+    img_base = np.asarray(Renderer(
+        w.device(), CFG, enable_taa=False,
+    ).render(cam))
+
+    ab_cfg, ab_bf16, ab_ascale = bench_mod.AB_VARIANTS["all"]
+    shading.LTC_LUT_BF16 = ab_bf16
+    try:
+        img_all = np.asarray(Renderer(
+            w.device(), dataclasses.replace(CFG, **ab_cfg),
+            enable_taa=False, area_light_scale=ab_ascale,
+        ).render(cam))
+    finally:
+        shading.LTC_LUT_BF16 = False
+    diff = np.abs(img_base.astype(np.float64) - img_all.astype(np.float64))
+    assert diff.mean() < 5e-3, diff.mean()
+    # tail: depth-edge pixels where the half-res upsample bleeds (same
+    # budget as the standalone area_half test)
+    assert np.quantile(diff, 0.99) < 0.12, np.quantile(diff, 0.99)
+
+
+def _repo_root():
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
