@@ -62,7 +62,11 @@ def main():
         position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
         aspect=args.width / args.height,
     ).uniform()
-    state = FrameState.initial(cfg.width, cfg.height)
+    # frame-1 state: with history_valid=False XLA constant-folds the TAA
+    # blend away and the taa stage audits as zero
+    state = FrameState.initial(cfg.width, cfg.height).replace(
+        history_valid=jnp.asarray(True)
+    )
 
     def upto(stage):
         def f():
