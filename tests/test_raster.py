@@ -229,6 +229,32 @@ def test_sort_payload_matches_default_path():
     )
 
 
+def test_single_stream_bin_matches_default_path():
+    """two_stream_bin=False (single-stream general pair expansion) must
+    produce the same frame as the default two-stream binning — an
+    untested-option guard of the sort_payload class: both are kept as
+    A/B alternatives and must not rot."""
+    import dataclasses
+
+    w = _scene()
+    scene = w.device()
+    cam = _camera(CFG.width / CFG.height)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+
+    vis_def = raster.rasterize(scene.meshes, scene.instances, draws, cam, CFG)
+    cfg_ss = dataclasses.replace(CFG, two_stream_bin=False)
+    vis_ss = raster.rasterize(scene.meshes, scene.instances, draws, cam,
+                              cfg_ss)
+
+    assert (np.asarray(vis_ss.tri_id) >= 0).sum() > 500  # not blank
+    np.testing.assert_array_equal(
+        np.asarray(vis_ss.depth), np.asarray(vis_def.depth)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vis_ss.tri_id), np.asarray(vis_def.tri_id)
+    )
+
+
 def _alpha_scene():
     """Masked cutout quad in front of a solid backdrop, plus a
     base_color.w=0.2 'ghost' quad in front of both that must vanish.
