@@ -480,3 +480,33 @@ def _repo_root():
     import os
 
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_ltc12_quad_gather_matches_mxu_fetch():
+    """LTC12_MXU=False (texel-quad gather LUT fetch) vs the MXU matmul
+    fetch: same bilinear math, different execution — results must agree to
+    f32 rounding on the area-lit golden scene (untested-option guard)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import voidin_tpu as vt
+    from tests.test_golden import CFG, _deferred_scene
+    from voidin_tpu.framework.renderer import Renderer
+    from voidin_tpu.passes import shading
+
+    w = _deferred_scene()
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0,
+                    aspect=CFG.width / CFG.height)
+    img_mxu = np.asarray(Renderer(
+        w.device(), CFG, enable_taa=False,
+    ).render(cam))
+    shading.LTC12_MXU = False
+    try:
+        img_gather = np.asarray(Renderer(
+            w.device(), CFG, enable_taa=False,
+        ).render(cam))
+    finally:
+        shading.LTC12_MXU = True
+    diff = np.abs(img_mxu.astype(np.float64) - img_gather.astype(np.float64))
+    assert diff.max() < 1e-4, diff.max()
