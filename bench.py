@@ -82,14 +82,31 @@ def probe_is_tpu(timeout_s=150.0) -> bool:
 # stays under the 1e-2 budget (tests/test_ltc.py test_ltc_lut_bf16_...),
 # area_half is a documented deviation tested to mean < 5e-3
 # (test_half_res_area_lights_close_to_full_res).
+# name -> (RasterConfig overrides, LTC_LUT_BF16, area_light_scale,
+#          LTC_FETCH_PALLAS: "off" | "on").  "on" resolves to the compiled
+# kernel on TPU and interpret mode on CPU (apply_ab_runtime_options).
 AB_VARIANTS = {
-    "base": (dict(), False, 1),
-    "fused_rec": (dict(fused_resolve_rec=True), False, 1),
-    "inst_f16": (dict(inst_rec_f16=True), False, 1),
-    "ltc_bf16": (dict(), True, 1),
-    "area_half": (dict(), False, 2),
-    "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2),
+    "base": (dict(), False, 1, "off"),
+    "fused_rec": (dict(fused_resolve_rec=True), False, 1, "off"),
+    "inst_f16": (dict(inst_rec_f16=True), False, 1, "off"),
+    "ltc_bf16": (dict(), True, 1, "off"),
+    "area_half": (dict(), False, 2, "off"),
+    "lut_kernel": (dict(), False, 1, "on"),
+    "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "off"),
 }
+
+
+def apply_ab_runtime_options(bf16, ascale, lut, backend):
+    """Set the module-level shading switches for a variant (returns
+    area_light_scale unchanged for the caller to plumb)."""
+    from voidin_tpu.passes import shading
+
+    shading.LTC_LUT_BF16 = bf16
+    shading.LTC_FETCH_PALLAS = (
+        "off" if lut == "off"
+        else ("interpret" if backend == "cpu" else "hw")
+    )
+    return ascale
 
 
 def ab_variants_stamp():
@@ -98,8 +115,8 @@ def ab_variants_stamp():
     a capture taken before a variant's definition changed must not steer
     the official run (it measured something else)."""
     return {
-        name: [sorted(cfg.items()), bool(bf16), int(ascale)]
-        for name, (cfg, bf16, ascale) in AB_VARIANTS.items()
+        name: [sorted(cfg.items()), bool(bf16), int(ascale), lut]
+        for name, (cfg, bf16, ascale, lut) in AB_VARIANTS.items()
     }
 
 
@@ -417,15 +434,14 @@ def main():
         )
         return
     world, moving = build_world(n_instances=300 if args.smoke else 10_000)
-    ab_name, (ab_cfg, ab_bf16, ab_ascale) = tuned_options()
+    ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
     if args.smoke:
         # exercise every option path regardless of what the sweep found
-        ab_name, (ab_cfg, ab_bf16, ab_ascale) = "all", AB_VARIANTS["all"]
+        ab_name = "all"
+        ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS["all"]
     if ab_name != "base":
-        from voidin_tpu.passes import shading
-
-        shading.LTC_LUT_BF16 = ab_bf16
         print(f"# applying A/B sweep winner: {ab_name}", file=sys.stderr)
+    apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)
     W, H = (320, 184) if args.smoke else (1920, 1080)
     cap = 1 << (14 if args.smoke else 19)
     cfg = RasterConfig(

@@ -69,14 +69,14 @@ def main():
 
     # Single source of truth: bench.AB_VARIANTS (bench.tuned_options applies
     # the winner this sweep finds).
-    from bench import AB_VARIANTS
+    from bench import AB_VARIANTS, apply_ab_runtime_options
 
     variants = [(name, *opts) for name, opts in AB_VARIANTS.items()]
     print(f"backend={backend}")
     results = {}
-    for name, cfg_kw, bf16, ascale in variants:
+    for name, cfg_kw, bf16, ascale, lut in variants:
         cfg = dataclasses.replace(cfg0, **cfg_kw)
-        shading.LTC_LUT_BF16 = bf16
+        apply_ab_runtime_options(bf16, ascale, lut, backend)
         try:
             def f(eps):
                 camera = cam.replace(znear=cam.znear + eps)
@@ -89,6 +89,7 @@ def main():
             ms = slope_time(jax.jit(f))
         finally:
             shading.LTC_LUT_BF16 = False
+            shading.LTC_FETCH_PALLAS = "off"
         results[name] = ms
         delta = ms - results["base"] if name != "base" else 0.0
         print(f"{name:12s} {ms:8.2f} ms   ({delta:+6.2f} vs base)",

@@ -49,15 +49,15 @@ def main():
     backend = jax.default_backend()
     # Profile the SAME configuration bench.py ships (the sweep winner),
     # so BENCH_DETAIL's stage marginals describe the official number.
-    from bench import AB_VARIANTS, tuned_options
+    from bench import AB_VARIANTS, apply_ab_runtime_options, tuned_options
 
     if args.variant:
-        ab_name, (ab_cfg, ab_bf16, ab_ascale) = (
+        ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = (
             args.variant, AB_VARIANTS[args.variant]
         )
     else:
-        ab_name, (ab_cfg, ab_bf16, ab_ascale) = tuned_options()
-    shading_pass.LTC_LUT_BF16 = ab_bf16
+        ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
+    apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)
     print(f"variant={ab_name}")
     world, moving = build_world()
     cfg = RasterConfig(

