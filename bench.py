@@ -93,6 +93,9 @@ AB_VARIANTS = {
     "area_half": (dict(), False, 2, "off"),
     "lut_kernel": (dict(), False, 1, "on"),
     "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "off"),
+    "all_lut": (
+        dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "on"
+    ),
 }
 
 

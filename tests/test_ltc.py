@@ -460,21 +460,26 @@ def test_ab_all_variant_close_to_base():
         w.device(), CFG, enable_taa=False,
     ).render(cam))
 
-    ab_cfg, ab_bf16, ab_ascale, ab_lut = bench_mod.AB_VARIANTS["all"]
-    bench_mod.apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, "cpu")
-    try:
-        img_all = np.asarray(Renderer(
-            w.device(), dataclasses.replace(CFG, **ab_cfg),
-            enable_taa=False, area_light_scale=ab_ascale,
-        ).render(cam))
-    finally:
-        shading.LTC_LUT_BF16 = False
-        shading.LTC_FETCH_PALLAS = "off"
-    diff = np.abs(img_base.astype(np.float64) - img_all.astype(np.float64))
-    assert diff.mean() < 5e-3, diff.mean()
-    # tail: depth-edge pixels where the half-res upsample bleeds (same
-    # budget as the standalone area_half test)
-    assert np.quantile(diff, 0.99) < 0.12, np.quantile(diff, 0.99)
+    for variant in ("all", "all_lut"):
+        ab_cfg, ab_bf16, ab_ascale, ab_lut = bench_mod.AB_VARIANTS[variant]
+        bench_mod.apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, "cpu")
+        try:
+            img_all = np.asarray(Renderer(
+                w.device(), dataclasses.replace(CFG, **ab_cfg),
+                enable_taa=False, area_light_scale=ab_ascale,
+            ).render(cam))
+        finally:
+            shading.LTC_LUT_BF16 = False
+            shading.LTC_FETCH_PALLAS = "off"
+        diff = np.abs(
+            img_base.astype(np.float64) - img_all.astype(np.float64)
+        )
+        assert diff.mean() < 5e-3, (variant, diff.mean())
+        # tail: depth-edge pixels where the half-res upsample bleeds (same
+        # budget as the standalone area_half test)
+        assert np.quantile(diff, 0.99) < 0.12, (
+            variant, np.quantile(diff, 0.99)
+        )
 
 
 def _repo_root():

@@ -94,12 +94,17 @@ def main():
         delta = ms - results["base"] if name != "base" else 0.0
         print(f"{name:12s} {ms:8.2f} ms   ({delta:+6.2f} vs base)",
               flush=True)
+        _write(args.out, backend, results)  # incremental: a timeout mid-
+        # sweep keeps every variant measured so far
+    print(f"wrote {args.out}")
 
+
+def _write(path, backend, results):
     import json
 
     from bench import ab_variants_stamp
 
-    with open(args.out, "w") as f:
+    with open(path, "w") as f:
         json.dump(
             {
                 "backend": backend,
@@ -113,7 +118,6 @@ def main():
             f,
             indent=2,
         )
-    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
