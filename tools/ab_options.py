@@ -87,6 +87,13 @@ def main():
                 return img.sum()
 
             ms = slope_time(jax.jit(f))
+        except Exception as e:  # a variant that fails to compile (e.g. a
+            # Mosaic limitation in an unproven kernel) must not kill the
+            # rest of the sweep; tuned_options ignores non-numeric entries
+            print(f"{name:12s} FAILED: {str(e)[:160]}", flush=True)
+            results[name] = f"error: {str(e)[:200]}"
+            _write(args.out, backend, results)
+            continue
         finally:
             shading.LTC_LUT_BF16 = False
             shading.LTC_FETCH_PALLAS = "off"
@@ -113,7 +120,10 @@ def _write(path, backend, results):
                 # definition stamp: bench.tuned_options refuses captures
                 # whose variant definitions differ from the current build
                 "variants": ab_variants_stamp(),
-                "ms_per_variant": {k: round(v, 3) for k, v in results.items()},
+                "ms_per_variant": {
+                    k: round(v, 3) if isinstance(v, (int, float)) else v
+                    for k, v in results.items()
+                },
             },
             f,
             indent=2,
