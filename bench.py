@@ -76,15 +76,14 @@ def probe_is_tpu(timeout_s=150.0) -> bool:
 
 
 # Perf-option variants swept by tools/ab_options.py on the north-star frame.
-# name -> (RasterConfig overrides, shading.LTC_LUT_BF16, area_light_scale).
+# name -> (RasterConfig overrides, LTC_LUT_BF16, area_light_scale,
+#          LTC_FETCH_PALLAS "off"|"on" — "on" resolves to the compiled
+#          kernel on TPU, interpret mode on CPU; apply_ab_runtime_options).
 # Every variant is image-budget-tested: fused_rec is bit-identical
 # (tests/test_raster.py test_fused_resolve_rec_matches_default), ltc_bf16
 # stays under the 1e-2 budget (tests/test_ltc.py test_ltc_lut_bf16_...),
 # area_half is a documented deviation tested to mean < 5e-3
 # (test_half_res_area_lights_close_to_full_res).
-# name -> (RasterConfig overrides, LTC_LUT_BF16, area_light_scale,
-#          LTC_FETCH_PALLAS: "off" | "on").  "on" resolves to the compiled
-# kernel on TPU and interpret mode on CPU (apply_ab_runtime_options).
 AB_VARIANTS = {
     "base": (dict(), False, 1, "off"),
     "fused_rec": (dict(fused_resolve_rec=True), False, 1, "off"),
@@ -440,8 +439,9 @@ def main():
     ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
     if args.smoke:
         # exercise every option path regardless of what the sweep found
-        ab_name = "all"
-        ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS["all"]
+        # (all_lut is the strict superset: it adds the Pallas LUT kernel)
+        ab_name = "all_lut"
+        ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS["all_lut"]
     if ab_name != "base":
         print(f"# applying A/B sweep winner: {ab_name}", file=sys.stderr)
     apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)

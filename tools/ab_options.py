@@ -69,7 +69,7 @@ def main():
 
     # Single source of truth: bench.AB_VARIANTS (bench.tuned_options applies
     # the winner this sweep finds).
-    from bench import AB_VARIANTS, apply_ab_runtime_options
+    from bench import AB_VARIANTS, apply_ab_runtime_options, retry_transient
 
     variants = [(name, *opts) for name, opts in AB_VARIANTS.items()]
     print(f"backend={backend}")
@@ -86,7 +86,11 @@ def main():
                 )
                 return img.sum()
 
-            ms = slope_time(jax.jit(f))
+            jf = jax.jit(f)
+            # the tunnel throws transient 'Internal' flakes (CLAUDE.md) —
+            # retry before recording a variant as failed
+            ms = retry_transient(lambda: slope_time(jf), attempts=3,
+                                 label=f"ab {name}")
         except Exception as e:  # a variant that fails to compile (e.g. a
             # Mosaic limitation in an unproven kernel) must not kill the
             # rest of the sweep; tuned_options ignores non-numeric entries
@@ -98,9 +102,12 @@ def main():
             shading.LTC_LUT_BF16 = False
             shading.LTC_FETCH_PALLAS = "off"
         results[name] = ms
-        delta = ms - results["base"] if name != "base" else 0.0
-        print(f"{name:12s} {ms:8.2f} ms   ({delta:+6.2f} vs base)",
-              flush=True)
+        base_ms = results.get("base")
+        if isinstance(base_ms, (int, float)) and name != "base":
+            print(f"{name:12s} {ms:8.2f} ms   ({ms - base_ms:+6.2f} vs base)",
+                  flush=True)
+        else:
+            print(f"{name:12s} {ms:8.2f} ms", flush=True)
         _write(args.out, backend, results)  # incremental: a timeout mid-
         # sweep keeps every variant measured so far
     print(f"wrote {args.out}")

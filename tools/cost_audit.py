@@ -39,15 +39,8 @@ def main():
     import voidin_tpu as vt
     from bench import AB_VARIANTS, build_world
     from voidin_tpu.framework.renderer import FrameState
-    from voidin_tpu.ops import fine_raster as fr
-    from voidin_tpu.passes import cull as cull_pass
-    from voidin_tpu.passes import postprocess as post_pass
-    from voidin_tpu.passes import raster as raster_pass
-    from voidin_tpu.passes import resolve as resolve_pass
     from voidin_tpu.passes import shading as shading_pass
-    from voidin_tpu.passes import taa as taa_pass
     from voidin_tpu.passes.raster import RasterConfig
-    from voidin_tpu.scene.texture import linear_to_srgb
 
     ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS[args.variant]
     shading_pass.LTC_LUT_BF16 = ab_bf16
@@ -65,65 +58,24 @@ def main():
         position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
         aspect=args.width / args.height,
     ).uniform()
+    import jax.numpy as jnp
+
     # frame-1 state: with history_valid=False XLA constant-folds the TAA
     # blend away and the taa stage audits as zero
     state = FrameState.initial(cfg.width, cfg.height).replace(
         history_valid=jnp.asarray(True)
     )
 
+    # one shared stage sequence for all audit tools (tools/stage_prefix.py)
+    from tools.stage_prefix import STAGES as stages
+    from tools.stage_prefix import make_upto
+
+    upto_f = make_upto(scene, uniform, cfg, state, ab_ascale=ab_ascale)
+
     def upto(stage):
-        def f():
-            draws = cull_pass.emit_draws(
-                scene.meshes, scene.instances, uniform
-            )
-            if stage == "cull":
-                return draws.count.astype(jnp.float32)
-            setup = raster_pass.triangle_setup(
-                scene.meshes, scene.instances, draws, uniform, cfg,
-                materials=scene.materials,
-            )
-            if stage == "setup":
-                return setup["raster_rec"].sum()
-            rec_sorted, starts, counts, overflow = (
-                raster_pass.bin_triangles_pairs(setup, cfg)
-            )
-            if stage == "bin":
-                return rec_sorted.sum() + starts.sum() + counts.sum()
-            outs = fr.fine_raster_pairs(
-                rec_sorted, starts, counts, tiles_x=cfg.tiles_x,
-                tiles_per_step=cfg.tiles_per_step, interpret=cfg.interpret,
-            )
-            depth, trif = outs[0], outs[1]
-            depth, tri_id = raster_pass._untile(
-                depth.reshape(depth.shape[0], -1),
-                trif.reshape(trif.shape[0], -1), cfg,
-            )
-            vis = raster_pass.VisBuffer(
-                tri_id=tri_id[: cfg.height, : cfg.width],
-                depth=depth[: cfg.height, : cfg.width],
-                resolve_rec=setup["resolve_rec"],
-                overflow=overflow,
-            )
-            if stage == "raster":
-                return vis.depth.sum() + vis.tri_id.sum()
-            gb, aux = resolve_pass.resolve_gbuffer(scene, vis, uniform, cfg)
-            if stage == "resolve":
-                return (gb.depth.sum() + gb.material.sum()
-                        + gb.normal_uv.sum() + aux.albedo.sum()
-                        + aux.emissive.sum() + aux.mr.sum())
-            hdr = shading_pass.shade(scene, gb, uniform, aux=aux,
-                                     area_light_scale=ab_ascale)
-            if stage == "shade":
-                return hdr.sum()
-            hdr2, _st = taa_pass.taa(hdr, gb, uniform, state)
-            if stage == "taa":
-                return hdr2.sum()
-            return linear_to_srgb(post_pass.postprocess(hdr2)).sum()
+        f = upto_f(stage)
+        return lambda: f(jnp.float32(0.0))
 
-        return f
-
-    stages = ["cull", "setup", "bin", "raster", "resolve", "shade", "taa",
-              "full"]
     keys = ("flops", "bytes accessed")
     cum = {}
     for s in stages:

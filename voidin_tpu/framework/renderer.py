@@ -156,10 +156,11 @@ def render_frame(
     # 4. deferred shading (HDR); optionally with TLAS-traced shadows.
     # The Pallas LUT-fetch path cannot live inside the SPMD-sharded dense
     # code (it would need its own shard_map wrapper) — force it off for
-    # the sharded frame at trace time.
-    lut_mode = shading_pass.LTC_FETCH_PALLAS
+    # the sharded frame at trace time, via the shading module's
+    # THREAD-LOCAL override so concurrent traces on other threads keep
+    # their requested mode.
     if mesh is not None:
-        shading_pass.LTC_FETCH_PALLAS = "off"
+        shading_pass._TRACE_LOCAL.lut_override = "off"
     try:
         if enable_rt_shadows:
             hdr = shading_pass.shade_raytraced(
@@ -172,7 +173,8 @@ def render_frame(
                 area_light_scale=area_light_scale,
             )
     finally:
-        shading_pass.LTC_FETCH_PALLAS = lut_mode
+        if mesh is not None:
+            shading_pass._TRACE_LOCAL.lut_override = None
     if mesh is not None:
         hdr = shard_mod.shard_rows(mesh, hdr)
 

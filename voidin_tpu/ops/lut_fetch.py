@@ -95,11 +95,11 @@ def lut_fetch_pallas(tables, uv, interpret=False, bf16=False):
     y1 = jnp.minimum(y0 + 1, TDIM - 1)
 
     p_pad = -(-p // PB) * PB
-    q = jnp.zeros((8, p_pad), jnp.float32)
-    for i, col in enumerate((y0, y1, ty, x0, x1, tx)):
-        q = jax.lax.dynamic_update_slice(
-            q, col[None, :].astype(jnp.float32), (i, 0)
-        )
+    # padded pixels fetch table[0, 0] harmlessly and are sliced off below
+    q = jnp.pad(
+        jnp.stack([y0, y1, ty, x0, x1, tx]).astype(jnp.float32),
+        ((0, 2), (0, p_pad - p)),
+    )
     tab_all = jnp.concatenate(
         [jnp.asarray(t, jnp.float32) for t in tables]
         + [jnp.zeros((TDIM, TDIM), jnp.float32)] * (c_pad - n_chan),

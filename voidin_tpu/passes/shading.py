@@ -93,11 +93,12 @@ def sample_lut_bilinear_mxu_multi(tables, uv: jnp.ndarray):
     Pallas kernel (ops/lut_fetch.py), which builds the (P, 64) weight
     matrices IN VMEM instead of materializing them in HBM — per
     COST_AUDIT.json those weights are the frame's dominant traffic."""
-    if LTC_FETCH_PALLAS != "off" and tables[0].shape == (64, 64):
+    lut_mode = _lut_fetch_mode()
+    if lut_mode != "off" and tables[0].shape == (64, 64):
         from ..ops.lut_fetch import lut_fetch_pallas
 
         return lut_fetch_pallas(
-            tables, uv, interpret=LTC_FETCH_PALLAS == "interpret",
+            tables, uv, interpret=lut_mode == "interpret",
             bf16=LTC_LUT_BF16,
         )
     h, w = tables[0].shape
@@ -175,8 +176,16 @@ LTC_LUT_BF16 = False
 # in interpret mode — CPU tests). Eliminates the HBM-materialized weight
 # matrices entirely; A/B on TPU before making it the default. NOTE: not
 # used under the row-sharded frame (a pallas_call inside spmd-sharded
-# dense code would need its own shard_map wrapper).
+# dense code would need its own shard_map wrapper) — the renderer forces
+# it off there via the THREAD-LOCAL trace override below, so concurrent
+# traces on other threads cannot observe the suppression.
 LTC_FETCH_PALLAS = "off"
+
+_TRACE_LOCAL = __import__("threading").local()
+
+
+def _lut_fetch_mode():
+    return getattr(_TRACE_LOCAL, "lut_override", None) or LTC_FETCH_PALLAS
 
 
 def ltc_matrix(scene: SceneData, nor, view, roughness):
