@@ -85,16 +85,25 @@ def probe_is_tpu(timeout_s=150.0) -> bool:
 # area_half is a documented deviation tested to mean < 5e-3
 # (test_half_res_area_lights_close_to_full_res).
 AB_VARIANTS = {
+    # Sweep order = dict order, and tools/ab_options.py writes results
+    # INCREMENTALLY — the expected winners go right after base so a sweep
+    # cut short by the watcher timeout still yields them.
     "base": (dict(), False, 1, "off"),
+    # quad-rate resolve is bit-exact with the default path
+    # (tests/test_resolve_quad.py) and excludes fused_resolve_rec
+    "all_q": (
+        dict(quad_rate_resolve=True, inst_rec_f16=True), True, 2, "on"
+    ),
+    "all_lut": (
+        dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "on"
+    ),
+    "quad": (dict(quad_rate_resolve=True), False, 1, "off"),
+    "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "off"),
+    "lut_kernel": (dict(), False, 1, "on"),
     "fused_rec": (dict(fused_resolve_rec=True), False, 1, "off"),
     "inst_f16": (dict(inst_rec_f16=True), False, 1, "off"),
     "ltc_bf16": (dict(), True, 1, "off"),
     "area_half": (dict(), False, 2, "off"),
-    "lut_kernel": (dict(), False, 1, "on"),
-    "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "off"),
-    "all_lut": (
-        dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "on"
-    ),
 }
 
 
@@ -439,9 +448,10 @@ def main():
     ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
     if args.smoke:
         # exercise every option path regardless of what the sweep found
-        # (all_lut is the strict superset: it adds the Pallas LUT kernel)
-        ab_name = "all_lut"
-        ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS["all_lut"]
+        # (all_q is the strict superset: quad-rate resolve + f16 instance
+        # records + bf16 LUT weights + half-res area lights + LUT kernel)
+        ab_name = "all_q"
+        ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS["all_q"]
     if ab_name != "base":
         print(f"# applying A/B sweep winner: {ab_name}", file=sys.stderr)
     apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)
@@ -454,6 +464,11 @@ def main():
         pair_capacity=cap,  # ops cost by capacity; overflow checked 0
         tile_tri_capacity=128,
         interpret=backend == "cpu",
+        # quad-rate resolve edge-quad capacity: max 26.9k at the bench
+        # pose (tools/count_edge_quads.py, stable ±0.1% over the
+        # animation) — 1<<15 leaves 22% headroom; gathers cost by
+        # capacity, so keep it tight (CLAUDE.md cost model)
+        quad_edge_capacity=0 if args.smoke else 1 << 15,
         **ab_cfg,
     )
     r = Renderer(world.device(), cfg, moving_ids=moving,

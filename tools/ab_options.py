@@ -6,7 +6,10 @@
   inst_f16             — RasterConfig.inst_rec_f16 (48 B f16 fused record)
   ltc_bf16             — shading.LTC_LUT_BF16 (bf16 LUT weight matrices)
   area_half            — area_light_scale=2 (flagged deviation)
-  all                  — everything on
+  lut_kernel           — Pallas LUT-fetch kernel (weights in VMEM)
+  quad                 — RasterConfig.quad_rate_resolve (2x2-coherent
+                         resolve gathers, bit-exact)
+  all / all_lut / all_q — composed variants (see bench.AB_VARIANTS)
 
 The variant list lives in bench.AB_VARIANTS; bench.py applies the winner
 from AB_OPTIONS.json to the official north-star run.
@@ -58,7 +61,7 @@ def main():
     scene = world.device()
     cfg0 = RasterConfig(
         width=1920, height=1080, tri_capacity=1 << 19,
-        pair_capacity=1 << 19, tile_tri_capacity=128,
+        pair_capacity=1 << 19, tile_tri_capacity=128, quad_edge_capacity=1 << 15,
         interpret=backend == "cpu",
     )
     cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,

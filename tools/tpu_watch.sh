@@ -26,7 +26,7 @@ fi
 # Sweep first: bench.py reads AB_OPTIONS.json (tuned_options) so the
 # north-star capture below — and the driver's own bench.py run at round
 # end — use the measured winner.
-timeout 4500 python -u tools/ab_options.py >> "$LOG" 2>&1
+timeout 7200 python -u tools/ab_options.py >> "$LOG" 2>&1
 echo "$(date +%T) ab_options done" >> "$LOG"
 python -u tools/bench_all.py --out BENCH_CONFIGS.json >> "$LOG" 2>&1
 echo "$(date +%T) bench_all done" >> "$LOG"

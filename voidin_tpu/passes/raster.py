@@ -90,6 +90,19 @@ class RasterConfig:
     # well inside the 1e-2 image budget (test_inst_rec_f16_...). A/B on
     # TPU before enabling.
     inst_rec_f16: bool = False
+    # Coherence-aware resolve (resolve._quad_fetch): issue the three
+    # per-pixel resolve row gathers once per UNIFORM 2x2 pixel quad
+    # (neighbors usually hit the same triangle) and per-pixel only for
+    # edge quads via a compacted flat batch. Bit-exact with the per-pixel
+    # path (same rows, same math); cuts resolve's gather rows ~2x at
+    # typical 1080p edge densities. Mutually exclusive with
+    # fused_resolve_rec. A/B on TPU before enabling.
+    quad_rate_resolve: bool = False
+    # Edge-quad capacity for quad_rate_resolve's compacted flat batch
+    # (0 = n_quads // 4). Overflowed edge pixels keep their quad anchor's
+    # rows — bounded error, counted in ResolveAux.overflow; size per scene
+    # from the counter like the other capacities.
+    quad_edge_capacity: int = 0
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W
