@@ -98,6 +98,13 @@ AB_VARIANTS = {
         dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "on"
     ),
     "quad": (dict(quad_rate_resolve=True), False, 1, "off"),
+    # all_x: the composed variant with NO new Pallas kernel — every
+    # component is XLA-only and CPU-proven (quad bit-exact, f16/bf16/half
+    # inside the image budget). Safe enough to be the UNSWEPT default in
+    # tuned_options when no TPU sweep has run yet.
+    "all_x": (
+        dict(quad_rate_resolve=True, inst_rec_f16=True), True, 2, "off"
+    ),
     "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "off"),
     "lut_kernel": (dict(), False, 1, "on"),
     "fused_rec": (dict(fused_resolve_rec=True), False, 1, "off"),
@@ -133,16 +140,20 @@ def ab_variants_stamp():
 
 def tuned_options(path=None):
     """The fastest measured variant from AB_OPTIONS.json (written by
-    tools/ab_options.py once the TPU answers — tools/tpu_watch.sh runs it),
-    falling back to 'base' when no TPU capture exists. Lets the official
-    north-star number automatically use the sweep winner without guessing
-    option defaults from a dead tunnel."""
+    tools/ab_options.py once the TPU answers — tools/tpu_watch.sh runs it).
+    With no valid TPU sweep the fallback is 'all_x', the composed variant
+    whose every component is XLA-only and CPU-proven (quad-rate resolve is
+    bit-exact; f16/bf16/half-res are image-budget-tested) — a tunnel that
+    only comes up for the driver's own bench run should not cost the
+    round the A/B wins. The Pallas LUT-kernel variants are never applied
+    unswept: they need the hardware bit-exactness guard first
+    (tools/check_kernel_hw.py, run by the watcher before any capture)."""
     import os
 
     if path is None:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "AB_OPTIONS.json")
-    name = "base"
+    name = "all_x"
     try:
         with open(path) as f:
             d = json.load(f)

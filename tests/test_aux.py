@@ -112,9 +112,11 @@ def test_ltc_polygon_annulus():
 
 
 def test_bench_tuned_options(tmp_path):
-    """bench.tuned_options picks the fastest TPU-measured A/B variant and
-    falls back to 'base' for missing/CPU/malformed captures (the official
-    number must never silently depend on an unmeasured guess)."""
+    """bench.tuned_options picks the fastest TPU-measured A/B variant.
+    Missing/CPU/stale/malformed captures fall back to 'all_x' — the
+    composed variant with no new Pallas kernel, every component CPU-proven
+    (quad-rate resolve bit-exact, f16/bf16/half inside the image budget) —
+    never to an unguarded Pallas-kernel variant."""
     import json
     import os
     import sys
@@ -123,34 +125,39 @@ def test_bench_tuned_options(tmp_path):
         os.path.abspath(__file__))))
     import bench
 
+    # the unswept default must not enable the Pallas LUT kernel (needs the
+    # hardware bit-exactness guard first)
+    assert bench.AB_VARIANTS["all_x"][3] == "off"
+
     p = str(tmp_path / "AB_OPTIONS.json")
-    # no file -> base
-    assert bench.tuned_options(p)[0] == "base"
-    # cpu capture -> base (only TPU timings may steer the TPU metric)
+    # no file -> unswept default
+    assert bench.tuned_options(p)[0] == "all_x"
+    # cpu capture -> unswept default (only TPU timings steer the metric)
     with open(p, "w") as f:
         json.dump({"backend": "cpu",
                    "ms_per_variant": {"base": 10, "all": 5}}, f)
-    assert bench.tuned_options(p)[0] == "base"
-    # tpu capture without a matching variant-definition stamp -> base
+    assert bench.tuned_options(p)[0] == "all_x"
+    # tpu capture without a matching variant-definition stamp -> default
     # (a capture from an older build measured different semantics)
     with open(p, "w") as f:
         json.dump({"backend": "tpu",
                    "ms_per_variant": {"base": 10, "all": 5.5}}, f)
-    assert bench.tuned_options(p)[0] == "base"
+    assert bench.tuned_options(p)[0] == "all_x"
     with open(p, "w") as f:
         stale = json.loads(json.dumps(bench.ab_variants_stamp()))
         stale["all"][1] = not stale["all"][1]
         json.dump({"backend": "tpu", "variants": stale,
                    "ms_per_variant": {"base": 10, "all": 5.5}}, f)
-    assert bench.tuned_options(p)[0] == "base"
-    # tpu capture with the current stamp -> fastest variant wins
+    assert bench.tuned_options(p)[0] == "all_x"
+    # tpu capture with the current stamp -> fastest variant wins (even
+    # when slower than the default's expectation: measurements rule)
     with open(p, "w") as f:
         json.dump({"backend": "tpu", "variants": bench.ab_variants_stamp(),
                    "ms_per_variant": {"base": 10, "fused_rec": 8,
                                       "all": 5.5}}, f)
     name, opts = bench.tuned_options(p)
     assert name == "all" and opts == bench.AB_VARIANTS["all"]
-    # malformed -> base
+    # malformed -> unswept default
     with open(p, "w") as f:
         f.write("not json")
-    assert bench.tuned_options(p)[0] == "base"
+    assert bench.tuned_options(p)[0] == "all_x"

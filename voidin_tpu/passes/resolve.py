@@ -282,7 +282,11 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
         )
         lod = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-8)), 0.0, 16.0)
 
-    albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod)
+    # wh from the fused record + the scene's static sRGB slot flag: the
+    # tap costs ONE texel-row gather, no per-pixel metadata gathers.
+    albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod,
+                              wh=(tex_w, tex_h),
+                              srgb=getattr(scene, "albedo_srgb", None))
 
     n_geo = _normalize(n_ws)
     if getattr(scene, "no_normal_maps", False):
@@ -290,7 +294,9 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
         # visibility.wgsl:83) — skip the per-pixel fetch + TBN transform.
         normal = n_geo
     else:
-        normal_tex = sample_trilinear(scene.textures, mat_normal, uv, lod)
+        normal_tex = sample_trilinear(scene.textures, mat_normal, uv, lod,
+                                      srgb=getattr(scene, "normal_srgb",
+                                                   None))
         tbn_t = _normalize(t_ws)
         tbn_b = _normalize(b_ws)
         mapped = (
@@ -346,7 +352,7 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
         out["emissive"] = sample_trilinear(
             scene.textures,
             jnp.where(keep, mat_emissive, mats.emissive[0]),
-            uv_s, lod_s,
+            uv_s, lod_s, srgb=getattr(scene, "emissive_srgb", None),
         )[..., :3]
     if scene.mr_const:
         out["mr"] = jnp.where(
@@ -356,7 +362,7 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
         out["mr"] = sample_trilinear(
             scene.textures,
             jnp.where(keep, mat_mr, mats.metallic_roughness[0]),
-            uv_s, lod_s,
+            uv_s, lod_s, srgb=getattr(scene, "mr_srgb", None),
         )
     return out
 

@@ -69,6 +69,18 @@ class SceneData:
     # material.rs:45 defaults / visibility.wgsl:83) — resolve skips the
     # per-pixel normal-texture fetch entirely.
     no_normal_maps: bool = struct.field(pytree_node=False, default=False)
+    # Static per-slot sRGB flags (True/False when every texture a slot can
+    # touch shares one flag; None = mixed -> per-pixel gather). Textures
+    # whose texels are all 0/255 are sRGB fixed points and never block the
+    # static. Saves one per-pixel flag gather per texture tap
+    # (sample_trilinear srgb=).
+    albedo_srgb: Optional[bool] = struct.field(pytree_node=False,
+                                               default=None)
+    normal_srgb: Optional[bool] = struct.field(pytree_node=False,
+                                               default=None)
+    emissive_srgb: Optional[bool] = struct.field(pytree_node=False,
+                                                 default=None)
+    mr_srgb: Optional[bool] = struct.field(pytree_node=False, default=None)
     # Vertex skinning regions (beyond reference parity — the wgpu importer
     # drops glTF skins). Each SkinData re-computes its pool triangle range
     # from per-frame joint matrices inside the frame jit.
@@ -142,6 +154,21 @@ class World:
                 return True
         return False
 
+    def _slot_srgb_static(self, tex_ids) -> Optional[bool]:
+        """One shared sRGB flag for a material texture slot, or None when
+        genuinely mixed. Pure-{0, 255} textures (WHITE/BLACK and friends)
+        are sRGB fixed points — decode(0) = 0, decode(1) = 1 — so their
+        flag cannot matter and never blocks the static."""
+        flags = set()
+        for t in sorted(set(int(t) for t in tex_ids)):
+            img = self.textures.images[t]
+            if bool(np.isin(img, (0, 255)).all()):
+                continue
+            flags.add(bool(self.textures.srgb_flags[t]))
+        if len(flags) > 1:
+            return None
+        return flags.pop() if flags else False
+
     def device(self, with_tlas: bool = False) -> SceneData:
         from .texture import pack_lut_quads
 
@@ -169,5 +196,9 @@ class World:
                 self.textures.is_const(t) for t in mats.metallic_roughness
             ),
             no_normal_maps=all(t == 0 for t in mats.normal),
+            albedo_srgb=self._slot_srgb_static(mats.albedo),
+            normal_srgb=self._slot_srgb_static(mats.normal),
+            emissive_srgb=self._slot_srgb_static(mats.emissive),
+            mr_srgb=self._slot_srgb_static(mats.metallic_roughness),
             skins=tuple(self.skins),
         )

@@ -215,6 +215,13 @@ class TexturePool:
         sizes = _mip_sizes(S)
         offsets = np.cumsum([0] + [s * s for s in sizes])[:-1]
         total = int(sum(s * s for s in sizes))
+        # the samplers address levels with the _level_offset_closed
+        # arithmetic identity instead of gathering this table — they must
+        # agree exactly
+        for li in range(len(sizes)):
+            sl = max(S >> li, 1)
+            assert offsets[li] == (4 * (S * S - sl * sl)) // 3, (
+                li, offsets[li])
         T = len(self.images)
         quads = np.zeros((T, total, 32), np.uint8)
         wh = np.zeros((T, 2), np.int32)
@@ -273,20 +280,50 @@ class TexturePool:
 # ---------------------------------------------------------------------------
 
 
-def _bilinear_level(pool: TexturePoolData, tex_id, uv, level, lod_frac=None):
+def _level_offset_closed(base_size: int, level):
+    """Row offset of mip `level` in a texture's flattened quad rows.
+
+    offsets = cumsum((S >> k)^2) has the closed form
+    (4/3) * (S^2 - (S >> l)^2) for pow2 S (exact integer: 4^k - 1 is
+    divisible by 3) — an ARITHMETIC identity replacing the per-pixel
+    level_offset[level] table gather (gathers are row-rate bound; a 2M-
+    pixel 4 B lookup costs ~5 ms, the identity is free VPU work).
+    Asserted equal to the built table in TexturePool.device()."""
+    sl = jnp.maximum(base_size >> level, 1)
+    return (4 * (base_size * base_size - sl * sl)) // 3
+
+
+def derived_max_lod(w, h):
+    """floor(log2(min(w, h))) — TexturePool.device()'s max_lod, derived
+    from the level-0 extent so callers that already hold (w, h) (e.g. the
+    resolve pass's fused instance record) skip the per-pixel max_lod table
+    gather. The +0.5 nudge makes floor(log2) exact for every integer
+    extent: exact powers land safely above the integer boundary, all
+    other values stay below the next one (f32 log2 error ~1e-7 vs the
+    ~7e-4 closest margin at 1024)."""
+    m = jnp.minimum(w, h).astype(jnp.float32)
+    return jnp.floor(jnp.log2(jnp.maximum(m, 1.0) + 0.5))
+
+
+def _bilinear_level(pool: TexturePoolData, tex_id, uv, level, lod_frac=None,
+                    wh=None):
     """One quad-gather (tri|bi)linear sample of a (dynamic) mip level.
 
     With `lod_frac`, blends toward the parent-resampled quad in the same
     32 B row — a full trilinear sample from ONE gather. Returns raw
-    (source-encoded) color in [0, 1].
+    (source-encoded) color in [0, 1]. `wh`: the level-0 (w, h) per sample
+    when the caller already holds it — skips the pool.size gather.
     """
     level = level.astype(jnp.int32)
-    offsets = jnp.asarray(pool.level_offset, jnp.int32)
-    wh = pool.size[tex_id]  # (..., 2)
-    lw = jnp.maximum(wh[..., 0] >> level, 1)
-    lh = jnp.maximum(wh[..., 1] >> level, 1)
+    if wh is None:
+        whg = pool.size[tex_id]  # (..., 2)
+        w0, h0 = whg[..., 0], whg[..., 1]
+    else:
+        w0, h0 = wh
+    lw = jnp.maximum(w0.astype(jnp.int32) >> level, 1)
+    lh = jnp.maximum(h0.astype(jnp.int32) >> level, 1)
     stride = jnp.maximum(pool.base_size >> level, 1)
-    off = offsets[level]
+    off = _level_offset_closed(pool.base_size, level)
 
     fx = uv[..., 0] * lw.astype(jnp.float32) - 0.5
     fy = uv[..., 1] * lh.astype(jnp.float32) - 0.5
@@ -316,27 +353,54 @@ def _bilinear_level(pool: TexturePoolData, tex_id, uv, level, lod_frac=None):
     return child + (parent - child) * lod_frac[..., None]
 
 
-def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None, trilinear=True):
+def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None,
+                     trilinear=True, wh=None, srgb=None):
     """Texture sample with repeat wrap; returns linear-space (..., 4).
 
-    1 quad-gather (bilinear / nearest mip) or 2 (trilinear).
+    The TEXEL cost is 1 quad-gather row per sample — but the naive form
+    pays FOUR more per-pixel gathers for metadata (size, level offset,
+    max_lod, srgb flag; each ~2.5-6.6 ns/row = ~5-13 ms/tap at 1080p).
+    Callers that statically know the metadata pass it in and pay only the
+    texel row:
+      wh    — (w, h) level-0 extent per sample (e.g. from the resolve
+              pass's fused instance record); max_lod + level addressing
+              derive arithmetically (derived_max_lod/_level_offset_closed).
+      srgb  — static bool when every texture this call site can touch
+              shares one flag (SceneData.*_srgb statics; pure-{0,255}
+              textures like WHITE/BLACK are sRGB fixed points and never
+              block the static).
     """
+    if wh is None:
+        # one extent gather; max_lod and level offsets then derive
+        # arithmetically (saves two more table gathers per sample)
+        whg = pool.size[tex_id]
+        wh = (whg[..., 0], whg[..., 1])
     if lod is None:
-        raw = _bilinear_level(pool, tex_id, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
+        raw = _bilinear_level(
+            pool, tex_id, uv, jnp.zeros(uv.shape[:-1], jnp.int32), wh=wh
+        )
     else:
-        lod = jnp.clip(lod, 0.0, pool.max_lod[tex_id])
+        lod = jnp.clip(lod, 0.0, derived_max_lod(*wh))
         if trilinear:
             l0 = jnp.floor(lod)
             raw = _bilinear_level(
-                pool, tex_id, uv, l0.astype(jnp.int32), lod_frac=lod - l0
+                pool, tex_id, uv, l0.astype(jnp.int32), lod_frac=lod - l0,
+                wh=wh,
             )
         else:
             raw = _bilinear_level(
-                pool, tex_id, uv, jnp.round(lod).astype(jnp.int32)
+                pool, tex_id, uv, jnp.round(lod).astype(jnp.int32), wh=wh
             )
     # Post-filter sRGB decode (rgb only) where flagged.
-    decode = pool.srgb[tex_id][..., None]
-    rgb = jnp.where(decode, srgb_to_linear_jnp(raw[..., :3]), raw[..., :3])
+    if srgb is None:
+        decode = pool.srgb[tex_id][..., None]
+        rgb = jnp.where(
+            decode, srgb_to_linear_jnp(raw[..., :3]), raw[..., :3]
+        )
+    elif srgb:
+        rgb = srgb_to_linear_jnp(raw[..., :3])
+    else:
+        rgb = raw[..., :3]
     return jnp.concatenate([rgb, raw[..., 3:4]], axis=-1)
 
 
