@@ -89,11 +89,14 @@ AB_VARIANTS = {
     # INCREMENTALLY — the expected winners go right after base so a sweep
     # cut short by the watcher timeout still yields them.
     "base": (dict(), False, 1, "off"),
-    # quad-rate resolve is bit-exact with the default path
-    # (tests/test_resolve_quad.py) and excludes fused_resolve_rec
+    # quad-rate resolve + quad-block TAA history are bit-exact with the
+    # default path (tests/test_resolve_quad.py, test_taa_quad.py) and
+    # exclude fused_resolve_rec
     "all_q": (
-        dict(quad_rate_resolve=True, inst_rec_f16=True), True, 2, "on"
+        dict(quad_rate_resolve=True, inst_rec_f16=True,
+             taa_quad_history=True), True, 2, "on"
     ),
+    "taa_quad": (dict(taa_quad_history=True), False, 1, "off"),
     "all_lut": (
         dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "on"
     ),
@@ -313,11 +316,14 @@ def build_world(n_instances=10_000, seed=0):
     return w, np.asarray(moving, np.int32)
 
 
-def run_preset(n, profile=False, rt_scale=0):
+def run_preset(n, profile=False, rt_scale=0, ab=True):
     """Run one of the five BASELINE configs via the preset system.
     rt_scale > 0 overrides the preset's rt_shadow_scale (config-5
     feasibility fallback: half-res shadow rays, a documented deviation
-    tested in tests/test_traverse.py)."""
+    tested in tests/test_traverse.py). `ab`: apply the tuned A/B variant
+    (the sweep winner / CPU-proven all_x fallback) — the configs measure
+    this framework at its production settings, like the reference runs
+    with its own; the applied variant is recorded in the JSON line."""
     import time
 
     import jax
@@ -350,6 +356,11 @@ def run_preset(n, profile=False, rt_scale=0):
         import dataclasses as _dc
 
         p = _dc.replace(p, rt_shadow_scale=rt_scale)
+    if ab:
+        ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
+        apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)
+    else:
+        ab_name, ab_cfg, ab_ascale = "base", {}, 1
     cfg = RasterConfig(
         width=1920,
         height=1080,
@@ -357,6 +368,7 @@ def run_preset(n, profile=False, rt_scale=0):
         pair_capacity=p.pair_capacity,
         tile_tri_capacity=p.tile_tri_capacity,
         interpret=backend == "cpu",
+        **ab_cfg,
     )
     r = Renderer(
         p.world.device(with_tlas=p.with_tlas),
@@ -365,6 +377,7 @@ def run_preset(n, profile=False, rt_scale=0):
         enable_taa=p.enable_taa,
         enable_rt_shadows=p.enable_rt_shadows,
         rt_shadow_scale=p.rt_shadow_scale,
+        area_light_scale=ab_ascale,
         moving_ids=np.asarray(p.moving_ids, np.int32),
     )
 
@@ -398,6 +411,7 @@ def run_preset(n, profile=False, rt_scale=0):
                 "unit": "ms",
                 "vs_baseline": round(16.6 / ms, 4),
                 "overflow": int(r.aux["overflow"]),
+                "options": ab_name,
             }
         )
     )
@@ -422,10 +436,13 @@ def main():
                     help="drive the EXACT north-star wiring (incl. the A/B "
                     "winner application) at tiny scale on CPU — a minutes-"
                     "scale verification run, not a measurement")
+    ap.add_argument("--no-ab", action="store_true",
+                    help="run presets at base options (no tuned variant)")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
     if args.config:
-        return run_preset(args.config, rt_scale=args.rt_scale)
+        return run_preset(args.config, rt_scale=args.rt_scale,
+                          ab=not args.no_ab)
 
     if args.smoke:
         # No probing: the probe subprocess can't inherit the CPU pin (the
@@ -480,6 +497,9 @@ def main():
         # animation) — 1<<15 leaves 22% headroom; gathers cost by
         # capacity, so keep it tight (CLAUDE.md cost model)
         quad_edge_capacity=0 if args.smoke else 1 << 15,
+        # TAA edge quads: 1.4k at the bench pose (velocity-coherent
+        # static camera); 1<<12 leaves 3x headroom
+        taa_edge_capacity=0 if args.smoke else 1 << 12,
         **ab_cfg,
     )
     r = Renderer(world.device(), cfg, moving_ids=moving,

@@ -59,7 +59,7 @@ def main():
         gb, aux = bar((gb, aux))
         hdr = shading.shade(scene, gb, camera, aux=aux)
         hdr = bar(hdr)
-        hdr, _st = taa_m.taa(hdr, gb, camera, state)
+        hdr, _st, _ovf = taa_m.taa(hdr, gb, camera, state)
         out = linear_to_srgb(pp.postprocess(hdr))
         return out.sum()
 

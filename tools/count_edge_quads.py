@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Count non-uniform (edge) 2x2 quads in the north-star frame's visibility
-buffer at 1080p — sizes RasterConfig.quad_edge_capacity for bench.py.
+"""Count non-uniform (edge) 2x2 quads in the north-star frame at 1080p:
+
+* visibility-buffer tri-id quads -> RasterConfig.quad_edge_capacity
+* TAA reprojected-history floor-coord spread -> RasterConfig.
+  taa_edge_capacity (quads whose 4 bilinear footprints don't fit one
+  4x4 block)
 
 Backend-independent (the XLA-twin raster is bit-identical to the Pallas
-kernel), so this runs on CPU. Quad-rate resolve gathers cost by CAPACITY:
-keep it tight per scene, like tri/pair capacities (CLAUDE.md cost model).
+kernel), so this runs on CPU. Quad-rate gathers cost by CAPACITY: keep it
+tight per scene, like tri/pair capacities (CLAUDE.md cost model).
 
-Usage: python -u tools/count_edge_quads.py [--config N] [--frames K]
+Usage: python -u tools/count_edge_quads.py [--frames K]
 """
 
 import argparse
@@ -51,6 +55,9 @@ def main():
                     aspect=W / H)
     uni = cam.uniform()
 
+    from voidin_tpu.passes import resolve as resolve_pass
+    from voidin_tpu.passes import taa as taa_pass
+
     @jax.jit
     def edge_count(scene_, t):
         inst = update_pass.compute_update(
@@ -65,20 +72,50 @@ def main():
         q = vis.tri_id.reshape(H // 2, 2, W // 2, 2)
         anchor = q[:, 0, :, 0]
         nonuni = ~jnp.all(q == anchor[:, None, :, None], axis=(1, 3))
-        return jnp.sum(nonuni.astype(jnp.int32)), vis.overflow
 
-    counts = []
+        # TAA: quads whose reprojected bilinear footprints spread past the
+        # 4x4 block (taa._bilinear_clamp_quadblock's edge condition)
+        gb, _aux = resolve_pass.resolve_gbuffer(scene_, vis, uni, cfg)
+        motion = taa_pass.reproject(gb, uni)
+        uu = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+        vv = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+        hist_u = uu[None, :] - motion[..., 0] * 0.5
+        hist_v = vv[:, None] + motion[..., 1] * 0.5
+        x0 = jnp.clip(jnp.floor(hist_u * W - 0.5).astype(jnp.int32),
+                      0, W - 1)
+        y0 = jnp.clip(jnp.floor(hist_v * H - 0.5).astype(jnp.int32),
+                      0, H - 1)
+
+        def q4(a):
+            return a.reshape(H // 2, 2, W // 2, 2).transpose(0, 2, 1, 3)
+
+        x4, y4 = q4(x0), q4(y0)
+        spread = (
+            (jnp.max(x4, (2, 3)) - jnp.min(x4, (2, 3)) > 2)
+            | (jnp.max(y4, (2, 3)) - jnp.min(y4, (2, 3)) > 2)
+        )
+        return (jnp.sum(nonuni.astype(jnp.int32)),
+                jnp.sum(spread.astype(jnp.int32)), vis.overflow)
+
+    counts, tcounts = [], []
     for f in range(args.frames):
-        c, ovf = edge_count(scene, jnp.asarray(f / 60.0, jnp.float32))
+        c, tc, ovf = edge_count(scene, jnp.asarray(f / 60.0, jnp.float32))
         counts.append(int(c))
+        tcounts.append(int(tc))
         print(f"frame {f}: edge quads {int(c)} "
               f"({100 * int(c) / (H * W // 4):.1f}% of {H * W // 4}) "
-              f"overflow {int(ovf)}", flush=True)
-    mx = max(counts)
-    cap = 1 << (mx - 1).bit_length()  # next pow2
-    if cap < mx * 1.25:
-        cap *= 2  # headroom for pose drift
-    print(f"max {mx} -> suggested quad_edge_capacity {cap}")
+              f"taa-edge {int(tc)} overflow {int(ovf)}", flush=True)
+
+    def cap_of(mx):
+        cap = 1 << max((mx - 1).bit_length(), 10)
+        if cap < mx * 1.25:
+            cap *= 2  # headroom for pose drift
+        return cap
+
+    print(f"max {max(counts)} -> suggested quad_edge_capacity "
+          f"{cap_of(max(counts))}")
+    print(f"taa max {max(tcounts)} -> suggested taa_edge_capacity "
+          f"{cap_of(max(tcounts))}")
 
 
 if __name__ == "__main__":

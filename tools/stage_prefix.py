@@ -73,7 +73,11 @@ def make_upto(scene, uniform, cfg, state, ab_ascale=1):
                                      area_light_scale=ab_ascale)
             if stage == "shade":
                 return hdr.sum()
-            hdr2, _st = taa_pass.taa(hdr, gb, camera, state)
+            hdr2, _st, _tovf = taa_pass.taa(
+                hdr, gb, camera, state,
+                quad_history=getattr(cfg, 'taa_quad_history', False),
+                edge_capacity=getattr(cfg, 'taa_edge_capacity', 0),
+            )
             if stage == "taa":
                 return hdr2.sum()
             return linear_to_srgb(post_pass.postprocess(hdr2)).sum()

@@ -142,7 +142,7 @@ def profile_frame(scene, camera, config, state=None, moving_ids=None) -> List[Tu
     )
     hdr = jax.jit(lambda s, g, c: shading.shade(s, g, c))(scene, gb, camera)
     rows.append(
-        ("taa (reproject+resolve)", time_fn(lambda e: taa_m.taa(hdr + e, gb, camera, state)))
+        ("taa (reproject+resolve)", time_fn(lambda e: taa_m.taa(hdr + e, gb, camera, state)[:2]))
     )
     rows.append(("postprocess", time_fn(lambda e: pp.postprocess(hdr + e))))
     return rows

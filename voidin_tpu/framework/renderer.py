@@ -184,8 +184,15 @@ def render_frame(
         hdr = shard_mod.shard_rows(mesh, hdr)
 
     # 5. TAA (reproject + resolve into history).
+    taa_overflow = None
     if enable_taa:
-        hdr, state = taa_pass.taa(hdr, gbuffer, camera, state)
+        # quad-block history fetch: compaction + scatters don't partition
+        # row-locally under SPMD (same reason as quad_rate_resolve)
+        tq = getattr(config, "taa_quad_history", False) and mesh is None
+        hdr, state, taa_overflow = taa_pass.taa(
+            hdr, gbuffer, camera, state, quad_history=tq,
+            edge_capacity=getattr(config, "taa_edge_capacity", 0),
+        )
         if mesh is not None:
             hdr = shard_mod.shard_rows(mesh, hdr)
 
@@ -196,6 +203,8 @@ def render_frame(
     overflow = vis.overflow
     if aux_r is not None and aux_r.overflow is not None:
         overflow = overflow + aux_r.overflow  # alpha-fallback capacity
+    if taa_overflow is not None:
+        overflow = overflow + taa_overflow  # quad-history edge capacity
     aux = dict(
         draw_count=draws.count,
         overflow=overflow,

@@ -103,6 +103,13 @@ class RasterConfig:
     # rows — bounded error, counted in ResolveAux.overflow; size per scene
     # from the counter like the other capacities.
     quad_edge_capacity: int = 0
+    # Coherence-aware TAA history fetch (taa._bilinear_clamp_quadblock):
+    # one 4x4-texel block row per uniform 2x2 output quad instead of one
+    # 2x2 quad row per pixel; velocity-edge quads go through a compacted
+    # per-pixel batch (taa_edge_capacity, 0 = n_quads // 4). Bit-exact
+    # (tests/test_taa_quad.py). A/B on TPU before enabling.
+    taa_quad_history: bool = False
+    taa_edge_capacity: int = 0
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W

@@ -115,6 +115,120 @@ def _bilinear_clamp(img, u, v):
     return top + (bot - top) * ty
 
 
+def _bilinear_clamp_quadblock(img, u, v, capacity=0):
+    """Coherence-aware twin of _bilinear_clamp: the reprojected history
+    coordinates of a 2x2 output quad land within ~1 texel of each other
+    (d hist_x / dx ~= 1), so ONE 4x4-texel block row (16 texels x 3ch f16
+    = 96 B, still the flat gather tier) serves all four pixels' bilinear
+    quads; quads whose floor coords spread wider than the block (velocity
+    edges) go through a compacted per-pixel batch on the regular quad
+    table. Bit-identical to _bilinear_clamp: the same texels feed the
+    same lerp (the in-block 9-way select is VPU work).
+
+    Returns (samples (H, W, C), edge-overflow count)."""
+    H, W = img.shape[:2]
+    C = img.shape[2]
+    Hq, Wq = H // 2, W // 2
+    imgh = img.astype(jnp.float16)
+
+    def shifted(dy, dx):
+        t = imgh
+        for _ in range(dy):
+            t = jnp.concatenate([t[1:], t[-1:]], axis=0)
+        for _ in range(dx):
+            t = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+        return t
+
+    # (H*W, 16*C) f16 4x4 blocks, clamp-replicated like the 2x2 table.
+    # Materialize via optimization_barrier (same lesson as _bilinear_clamp:
+    # XLA otherwise recomputes the shifts inside the gather).
+    blocks = jnp.concatenate(
+        [shifted(dy, dx) for dy in range(4) for dx in range(4)], axis=-1
+    ).reshape(H * W, 16 * C)
+    blocks = jax.lax.optimization_barrier(blocks)
+
+    fx = u * W - 0.5
+    fy = v * H - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+
+    def q4(a):  # (H, W) -> (Hq, Wq, 2, 2)
+        return a.reshape(Hq, 2, Wq, 2).transpose(0, 2, 1, 3)
+
+    x4, y4 = q4(x0i), q4(y0i)
+    bx = jnp.min(x4, axis=(2, 3))  # (Hq, Wq) block origin
+    by = jnp.min(y4, axis=(2, 3))
+    ok = (jnp.max(x4, axis=(2, 3)) - bx <= 2) & (
+        jnp.max(y4, axis=(2, 3)) - by <= 2
+    )
+
+    blk = blocks[by * W + bx].astype(jnp.float32)  # (Hq, Wq, 16C)
+    blk = blk.reshape(Hq, Wq, 4, 4, C)
+
+    # per-pixel in-block offsets (0..2 when ok); gather-free 9-way select
+    ox = jnp.clip(x4 - bx[..., None, None], 0, 2)  # (Hq, Wq, 2, 2)
+    oy = jnp.clip(y4 - by[..., None, None], 0, 2)
+    oh_y = (oy[..., None] == jnp.arange(3)).astype(jnp.float32)
+    oh_x = (ox[..., None] == jnp.arange(3)).astype(jnp.float32)
+
+    def corner(dy, dx):
+        # Sum_j Sum_i blk[j+dy, i+dx] * onehot_y[j] * onehot_x[i]
+        sub = blk[:, :, dy : dy + 3, dx : dx + 3, :]  # (Hq, Wq, 3, 3, C)
+        v_ = jnp.einsum(
+            "hwjic,hwpqj,hwpqi->hwpqc", sub, oh_y, oh_x
+        )  # (Hq, Wq, 2, 2, C)
+        return v_
+
+    c00 = corner(0, 0)
+    c10 = corner(0, 1)
+    c01 = corner(1, 0)
+    c11 = corner(1, 1)
+
+    def unq(a):  # (Hq, Wq, 2, 2, C) -> (H, W, C)
+        return a.transpose(0, 2, 1, 3, 4).reshape(H, W, C)
+
+    c00, c10, c01, c11 = unq(c00), unq(c10), unq(c01), unq(c11)
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    out = top + (bot - top) * ty
+
+    # edge quads: per-pixel fetch, scattered back — identical machinery to
+    # resolve._quad_fetch. The pixel's 2x2 bilinear quad is the (0..1,
+    # 0..1) corner of ITS OWN 4x4 block row, so the edge path reuses the
+    # block table instead of building a second (H*W, 4C) quad table.
+    F = capacity or max(Hq * Wq // 4, 1024)
+    flat = (~ok).reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    qidx = jnp.nonzero(flat, size=F, fill_value=0)[0]
+    valid = jnp.arange(F) < jnp.minimum(count, F)
+    qy = qidx // Wq
+    qx = qidx - qy * Wq
+    py = jnp.concatenate([qy * 2, qy * 2, qy * 2 + 1, qy * 2 + 1])
+    px = jnp.concatenate([qx * 2, qx * 2 + 1, qx * 2, qx * 2 + 1])
+    pix = py * W + px  # (4F,)
+    xe = x0i.reshape(-1)[pix]
+    ye = y0i.reshape(-1)[pix]
+    qe = blocks[ye * W + xe].astype(jnp.float32)  # (4F, 16C)
+    txe = tx.reshape(-1, 1)[pix]
+    tye = ty.reshape(-1, 1)[pix]
+    # block texel (dy, dx) lives at columns (dy*4 + dx)*C
+    e00, e10 = qe[..., 0:C], qe[..., C : 2 * C]
+    e01, e11 = qe[..., 4 * C : 5 * C], qe[..., 5 * C : 6 * C]
+    tope = e00 + (e10 - e00) * txe
+    bote = e01 + (e11 - e01) * txe
+    vals = tope + (bote - tope) * tye
+    widx = jnp.where(jnp.concatenate([valid] * 4), pix, H * W)
+    out = (
+        out.reshape(H * W, C).at[widx].set(vals, mode="drop")
+        .reshape(H, W, C)
+    )
+    return out, jnp.maximum(count - F, 0)
+
+
 def reproject(gbuffer, camera) -> jnp.ndarray:
     """-> (H, W, 3): (velocity.xy in NDC units, in-bounds flag)."""
     depth = gbuffer.depth
@@ -151,8 +265,10 @@ def reproject(gbuffer, camera) -> jnp.ndarray:
     return jnp.stack([vel_x, vel_y, in_bounds.astype(jnp.float32)], axis=-1)
 
 
-def taa_resolve(color, history, motion) -> jnp.ndarray:
-    """taa.wgsl:45-103. color/history: (H, W, 3); motion: (H, W, 3)."""
+def taa_resolve(color, history, motion, quad_history=False,
+                edge_capacity=0):
+    """taa.wgsl:45-103. color/history: (H, W, 3); motion: (H, W, 3).
+    Returns (resolved, edge-overflow count — 0 unless quad_history)."""
     H, W = color.shape[:2]
     u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
@@ -163,7 +279,14 @@ def taa_resolve(color, history, motion) -> jnp.ndarray:
     hist_u = uu - vel[..., 0] * 0.5
     hist_v = vv + vel[..., 1] * 0.5  # * (1, -1) flip
 
-    hist = rgb_to_ycbcr(_bilinear_clamp(history, hist_u, hist_v))
+    overflow = jnp.zeros((), jnp.int32)
+    if quad_history and H % 2 == 0 and W % 2 == 0:
+        hist_rgb, overflow = _bilinear_clamp_quadblock(
+            history, hist_u, hist_v, capacity=edge_capacity
+        )
+    else:
+        hist_rgb = _bilinear_clamp(history, hist_u, hist_v)
+    hist = rgb_to_ycbcr(hist_rgb)
 
     # 3x3 Gaussian-weighted moments in YCbCr.
     vsum = jnp.zeros_like(color)
@@ -220,13 +343,16 @@ def taa_resolve(color, history, motion) -> jnp.ndarray:
     blend = blend * (0.2 + 0.8 * _smoothstep(0.0, 2.0, clamp_dist))
 
     result = clamped + (center - clamped) * blend[..., None]
-    return ycbcr_to_rgb(result)
+    return ycbcr_to_rgb(result), overflow
 
 
-def taa(color, gbuffer, camera, state):
-    """Full TAA pass; returns (resolved color, new state)."""
+def taa(color, gbuffer, camera, state, quad_history=False, edge_capacity=0):
+    """Full TAA pass; returns (resolved color, new state, overflow)."""
     motion = reproject(gbuffer, camera)
-    resolved = taa_resolve(color, state.history, motion)
+    resolved, overflow = taa_resolve(
+        color, state.history, motion, quad_history=quad_history,
+        edge_capacity=edge_capacity,
+    )
     out = jnp.where(state.history_valid, resolved, color)
     new_state = state.replace(history=out, history_valid=jnp.asarray(True))
-    return out, new_state
+    return out, new_state, overflow
