@@ -367,6 +367,9 @@ def run_preset(n, profile=False, rt_scale=0, ab=True):
         tri_capacity=p.tri_capacity,
         pair_capacity=p.pair_capacity,
         tile_tri_capacity=p.tile_tri_capacity,
+        quad_edge_capacity=p.quad_edge_capacity,
+        taa_edge_capacity=p.taa_edge_capacity,
+        rt_packet=p.rt_packet,
         interpret=backend == "cpu",
         **ab_cfg,
     )

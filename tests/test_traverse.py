@@ -195,3 +195,115 @@ def test_half_res_shadow_rays_close_to_full_res():
     assert same.mean() > 0.90, same.mean()
     # and the top-left sample of every 2x2 block is exact by construction
     assert (img1[::2, ::2] == img2[::2, ::2]).mean() > 0.999
+
+
+def test_occluded_packets_bit_identical():
+    """Packet traversal (shared per-packet stack, per-lane leaf gating)
+    must reproduce occluded() exactly — coherent AND incoherent rays,
+    partial-packet padding, inactive lanes, chunked packet groups."""
+    import voidin_tpu as vt
+    from voidin_tpu.core import mathx
+    from voidin_tpu.rt import traverse as trav
+
+    w = vt.World()
+    knot = w.meshes.add(vt.mesh.make_torus_knot(segments=48, sides=8))
+    rng = np.random.default_rng(5)
+    for i in range(5):
+        t = mathx.from_translation(
+            [2.0 * i - 4.0, float(rng.uniform(-1, 1)), -6.0]
+        ) @ mathx.from_rotation_y(np.float32(rng.uniform(0, 6)))
+        w.instances.add(np.asarray(t), knot, 0)
+    scene = w.device(with_tlas=True)
+    tlas, blas, inst, tri_pos = trav.scene_rays(scene)
+
+    R = 1000  # not a multiple of the packet size (pad lanes exercised)
+    # coherent block: screen-like grid of origins, one light target
+    og = np.stack(
+        np.meshgrid(
+            np.linspace(-5, 5, 25), np.linspace(-2, 2, 20), indexing="ij"
+        ),
+        -1,
+    ).reshape(-1, 2)
+    coherent_o = np.concatenate(
+        [og, np.full((500, 1), 2.0)], axis=1
+    ).astype(np.float32)
+    coherent_d = (np.array([0.0, 3.0, -9.0]) - coherent_o).astype(np.float32)
+    # incoherent tail: random rays (worst case for packets)
+    rand_o = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+    rand_d = rng.uniform(-6, 6, (500, 3)).astype(np.float32)
+    origins = np.concatenate([coherent_o, rand_o])
+    dirs = np.concatenate([coherent_d, rand_d])
+    active = rng.random(R) < 0.9
+
+    base = trav.occluded(
+        tlas, blas, inst, tri_pos, jnp.asarray(origins), jnp.asarray(dirs),
+        t_max=1.0, active=jnp.asarray(active), max_steps=4096,
+    )
+    assert int(base.overflow) == 0 and int(base.exhausted) == 0
+    assert bool(np.asarray(base.hit).any())
+    for kwargs in (
+        dict(packet=128),
+        dict(packet=64),
+        dict(packet=128, chunk_packets=4),
+    ):
+        pk = trav.occluded_packets(
+            tlas, blas, inst, tri_pos, jnp.asarray(origins),
+            jnp.asarray(dirs), t_max=1.0, active=jnp.asarray(active),
+            max_steps=4096, **kwargs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.hit), np.asarray(pk.hit), err_msg=str(kwargs)
+        )
+        assert int(pk.overflow) == 0 and int(pk.exhausted) == 0
+
+
+def test_shade_raytraced_packet_bit_identical():
+    """Through the full frame with enable_rt_shadows: RasterConfig.
+    rt_packet (config-5's default) must not change a single pixel."""
+    import dataclasses
+
+    import voidin_tpu as vt
+    from voidin_tpu.core import mathx
+    from voidin_tpu.framework.renderer import (
+        FrameState, Globals, render_frame,
+    )
+    from voidin_tpu.passes import raster
+
+    w = vt.World()
+    knot = w.meshes.add(vt.mesh.make_torus_knot(segments=32, sides=6))
+    w.instances.add(
+        np.asarray(mathx.from_translation([0, 0.8, -5.0])), knot, 1
+    )
+    w.instances.add(
+        np.asarray(
+            mathx.from_translation([0, -1.0, -5.0]) @ mathx.from_scale(12.0)
+        ),
+        vt.mesh.HORIZONTAL_PLANE_MESH,
+        1,
+    )
+    w.lights.add_point_light([2.5, 4.0, -2.0], 25.0, [1, 1, 1])
+    scene = w.device(with_tlas=True)
+    cfg = raster.RasterConfig(
+        width=128, height=64, tri_capacity=1 << 13, pair_capacity=1 << 14,
+        tile_tri_capacity=64, interpret=True,
+    )
+    cam = vt.Camera(
+        position=[0.0, 1.0, 0.5], pitch=-15.0, aspect=cfg.width / cfg.height
+    ).uniform()
+    g = Globals.make(cfg.width, cfg.height)
+    state = FrameState.initial(cfg.width, cfg.height)
+    mov = jnp.zeros(0, jnp.int32)
+
+    def frame(c):
+        img, _st, _sc, aux = render_frame(
+            scene, cam, g, state, mov, c,
+            enable_taa=False, enable_rt_shadows=True,
+        )
+        return np.asarray(img)
+
+    base = frame(cfg)
+    pk = frame(dataclasses.replace(cfg, rt_packet=64))
+    np.testing.assert_array_equal(base, pk)
+    # the scene must be non-trivially lit/shadowed for this to mean much
+    # (0-1 sRGB floats: the knot-over-plane frame measures ~0.14)
+    assert base.std() > 0.05

@@ -25,6 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8,
                     help="frames to step (moving instances change edges)")
+    ap.add_argument("--config", type=int, default=0,
+                    help="BASELINE preset 1-5 (0 = north-star scene)")
     args = ap.parse_args()
 
     import jax
@@ -41,18 +43,29 @@ def main():
     from voidin_tpu.passes import update as update_pass
     from voidin_tpu.passes.raster import RasterConfig
 
-    world, moving = bench.build_world(n_instances=10_000)
-    scene = world.device()
     W, H = 1920, 1080
+    if args.config:
+        from voidin_tpu.framework.presets import PRESETS
+
+        p = PRESETS[args.config](W / H)
+        world, moving = p.world, np.asarray(p.moving_ids, np.int32)
+        scene = world.device()
+        tri_cap, pair_cap = p.tri_capacity, p.pair_capacity
+        cam = p.camera
+    else:
+        world, moving = bench.build_world(n_instances=10_000)
+        scene = world.device()
+        tri_cap = pair_cap = 1 << 19
+        cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
+                        aspect=W / H)
     # tile_tri_capacity 512, not the bench's 128: the XLA twin bins with a
     # PER-TILE cap (the pairs path the TPU bench runs has none), and 128
     # drops records at this pose — the count would be slightly off.
     cfg = RasterConfig(
-        width=W, height=H, tri_capacity=1 << 19, pair_capacity=1 << 19,
+        width=W, height=H, tri_capacity=tri_cap, pair_capacity=pair_cap,
         tile_tri_capacity=512, backend="xla",
+        alpha_mask=getattr(scene, "alpha_masked", False),
     )
-    cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
-                    aspect=W / H)
     uni = cam.uniform()
 
     from voidin_tpu.passes import resolve as resolve_pass

@@ -51,6 +51,14 @@ class Preset:
     tri_capacity: int = 1 << 20
     pair_capacity: int = 1 << 20
     tile_tri_capacity: int = 128
+    # Edge-quad capacities for the quad-rate resolve / quad-block TAA
+    # perf options (tools/count_edge_quads.py --config N at each preset's
+    # fixed pose, next-pow2 with ~25% headroom; overflow counted).
+    quad_edge_capacity: int = 1 << 16
+    taa_edge_capacity: int = 1 << 11
+    # Packet traversal size for raytraced-shadow presets (bit-exact; see
+    # RasterConfig.rt_packet). 0 = per-ray lock-step loop.
+    rt_packet: int = 0
     # Per-frame (J, 4, 4) joint matrices for skinned scenes (config 4's
     # clapping skinned geometry — beyond reference parity).
     animator: Optional[object] = None
@@ -71,7 +79,8 @@ def config1_single_mesh(aspect: float) -> Preset:
     w.lights.add_point_light([3, 4, 4], 20.0, [1, 1, 1])
     cam = Camera(position=[0, 1.2, 3.4], pitch=-15.0, aspect=aspect)
     return Preset(world=w, camera=cam, enable_cull=False, enable_taa=False,
-                  tri_capacity=1 << 17, pair_capacity=1 << 18)
+                  tri_capacity=1 << 17, pair_capacity=1 << 18,
+                  quad_edge_capacity=1 << 16, taa_edge_capacity=1 << 10)
 
 
 def config2_instanced_cull(aspect: float, n_instances: int = 1000) -> Preset:
@@ -103,7 +112,8 @@ def config2_instanced_cull(aspect: float, n_instances: int = 1000) -> Preset:
     # sized to live work (validated by the overflow counter bench prints).
     return Preset(world=w, camera=cam, enable_taa=False,
                   tri_capacity=1 << 19, pair_capacity=1 << 20,
-                  tile_tri_capacity=192)
+                  tile_tri_capacity=192,
+                  quad_edge_capacity=1 << 17, taa_edge_capacity=1 << 12)
 
 
 def config3_gltf_arealights(aspect: float) -> Preset:
@@ -150,7 +160,8 @@ def config3_gltf_arealights(aspect: float) -> Preset:
     w.lights.add_point_light([2, 3, 4], 12.0, [0.6, 0.6, 0.7])
     cam = Camera(position=[0, 2.5, 9.0], pitch=-12.0, aspect=aspect)
     return Preset(world=w, camera=cam, enable_taa=False,
-                  tri_capacity=1 << 15, pair_capacity=1 << 18)
+                  tri_capacity=1 << 15, pair_capacity=1 << 18,
+                  quad_edge_capacity=1 << 13, taa_edge_capacity=1 << 10)
 
 
 def _add_clapper_arm(w: World, segments: int = 8, width: float = 0.6,
@@ -262,6 +273,7 @@ def config4_animated_taa(aspect: float) -> Preset:
     cam = Camera(position=[0, 3, 4], pitch=-14.0, aspect=aspect)
     return Preset(world=w, camera=cam, moving_ids=moving, enable_taa=True,
                   tri_capacity=1 << 16, pair_capacity=1 << 18,
+                  quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 10,
                   animator=clapper_joint_mats)
 
 
@@ -294,6 +306,11 @@ def config5_raytraced_shadows(aspect: float) -> Preset:
         with_tlas=True,
         tri_capacity=1 << 17,
         pair_capacity=1 << 19,
+        quad_edge_capacity=1 << 16,
+        taa_edge_capacity=1 << 10,
+        # ~2M coherent shadow rays at 1080p: the per-ray lock-step loop
+        # gathers ~11 rows/ray/step; packets make full-res feasible
+        rt_packet=128,
     )
 
 

@@ -170,7 +170,8 @@ def render_frame(
         if enable_rt_shadows:
             hdr = shading_pass.shade_raytraced(
                 scene, gbuffer, camera, aux=aux_r,
-                shadow_scale=rt_shadow_scale
+                shadow_scale=rt_shadow_scale,
+                rt_packet=getattr(config, "rt_packet", 0),
             )
         else:
             hdr = shading_pass.shade(

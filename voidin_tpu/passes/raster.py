@@ -110,6 +110,12 @@ class RasterConfig:
     # (tests/test_taa_quad.py). A/B on TPU before enabling.
     taa_quad_history: bool = False
     taa_edge_capacity: int = 0
+    # Packet traversal for raytraced shadows (rt.traverse.
+    # occluded_packets): this many screen-adjacent rays share one
+    # traversal stack — node/tri rows fetched once per packet instead of
+    # once per ray. BIT-EXACT (tests/test_traverse.py); 0 = per-ray
+    # lock-step loop.
+    rt_packet: int = 0
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W

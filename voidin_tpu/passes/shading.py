@@ -520,7 +520,7 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None,
 
 def shade_raytraced(
     scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512,
-    ray_chunk=1 << 16, aux=None, shadow_scale=1,
+    ray_chunk=1 << 16, aux=None, shadow_scale=1, rt_packet=0,
 ) -> jnp.ndarray:
     """Deferred shading with TLAS-traced point-light shadows.
 
@@ -536,6 +536,11 @@ def shade_raytraced(
     the lock-step traversal dominates (BASELINE config 5 at 1080p traces
     ~2M rays at full res). Shadow edges coarsen to s pixels; shading,
     attenuation and visibility remain full-res.
+
+    `rt_packet=P` (BIT-EXACT, off by default): packet traversal — P
+    screen-adjacent rays share one traversal stack, fetching node/
+    triangle rows once per packet instead of once per ray (the per-ray
+    lock-step loop's dominant cost). See rt.traverse.occluded_packets.
     """
     from ..rt import traverse as trav
 
@@ -582,33 +587,58 @@ def shade_raytraced(
             nor_s = nor[::s, ::s]
             lv_s = lpos - pos_s
             hs, ws = pos_s.shape[:2]
-            occ_small = trav.occluded(
-                tlas, blas, inst, tri_pos,
-                (pos_s + nor_s * 1e-4).reshape(-1, 3),
-                lv_s.reshape(-1, 3),
-                t_max=1.0,
-                max_steps=max_steps,
-                active=needs_ray[::s, ::s].reshape(-1),
-                chunk_size=ray_chunk,
-            ).hit.reshape(hs, ws)
+            if rt_packet:
+                occ_small = trav.occluded_packets(
+                    tlas, blas, inst, tri_pos,
+                    (pos_s + nor_s * 1e-4).reshape(-1, 3),
+                    lv_s.reshape(-1, 3),
+                    t_max=1.0,
+                    max_steps=max_steps * 8,
+                    active=needs_ray[::s, ::s].reshape(-1),
+                    packet=rt_packet,
+                    chunk_packets=max(ray_chunk // rt_packet, 1),
+                ).hit.reshape(hs, ws)
+            else:
+                occ_small = trav.occluded(
+                    tlas, blas, inst, tri_pos,
+                    (pos_s + nor_s * 1e-4).reshape(-1, 3),
+                    lv_s.reshape(-1, 3),
+                    t_max=1.0,
+                    max_steps=max_steps,
+                    active=needs_ray[::s, ::s].reshape(-1),
+                    chunk_size=ray_chunk,
+                ).hit.reshape(hs, ws)
             occ_hit = jnp.repeat(
                 jnp.repeat(occ_small, s, axis=0), s, axis=1
             )[:H, :W]
         else:
             origins = (pos + nor * 1e-4).reshape(-1, 3)
             dirs = light_vec.reshape(-1, 3)
-            occ_hit = trav.occluded(
-                tlas,
-                blas,
-                inst,
-                tri_pos,
-                origins,
-                dirs,
-                t_max=1.0,
-                max_steps=max_steps,
-                active=needs_ray.reshape(-1),
-                chunk_size=ray_chunk,
-            ).hit.reshape(H, W)
+            if rt_packet:
+                occ_hit = trav.occluded_packets(
+                    tlas, blas, inst, tri_pos, origins, dirs,
+                    t_max=1.0,
+                    # a packet takes the UNION of its lanes' paths: more
+                    # steps than any single lane, but each step costs
+                    # 1/packet the gather rows
+                    max_steps=max_steps * 8,
+                    active=needs_ray.reshape(-1),
+                    packet=rt_packet,
+                    chunk_packets=max(ray_chunk // rt_packet, 1),
+                ).hit.reshape(H, W)
+            else:
+                occ_hit = trav.occluded(
+                    tlas,
+                    blas,
+                    inst,
+                    tri_pos,
+                    origins,
+                    dirs,
+                    t_max=1.0,
+                    max_steps=max_steps,
+                    active=needs_ray.reshape(-1),
+                    chunk_size=ray_chunk,
+                ).hit.reshape(H, W)
         occlusion = jnp.where(occ_hit, 0.5, 1.0)
 
         atten = attenuation(1.0, 1.0, dist, lrad)

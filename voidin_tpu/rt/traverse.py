@@ -316,6 +316,250 @@ def occluded(
     return OcclusionResult(hit=out["hit"], overflow=out["ovf"], exhausted=exhausted)
 
 
+def occluded_packets(
+    tlas_rows,
+    blas_rows,
+    instance_rows,
+    tri_pos,
+    origins,  # (R, 3)
+    directions,  # (R, 3)
+    t_max=1.0,
+    max_steps=4096,
+    active=None,
+    packet=128,
+    chunk_packets=None,
+):
+    """Packet any-hit occlusion: `packet` coherent rays share ONE traversal
+    stack, so each step fetches node/instance/triangle rows once per
+    PACKET instead of once per ray — the dominant per-step cost drops from
+    ~11 gather rows PER RAY to ~11/packet (TPU gathers are row-rate
+    bound). Shadow rays from neighboring pixels toward one light visit
+    nearly the same nodes, so the union traversal adds few extra steps.
+
+    BIT-IDENTICAL to occluded(): every lane's triangle test is gated on
+    its OWN leaf slab test (plus its own TLAS-leaf slab at instance
+    entry), and the float slab predicate is monotone under the builder's
+    exact parent-contains-child bounds — a lane that misses an ancestor
+    AABB cannot pass a descendant's slab, so gating at the leaves
+    reproduces the per-ray path gating exactly (tests/test_traverse.py).
+
+    `chunk_packets`: process groups of that many packets sequentially
+    (lax.map) so fast-terminating screen regions exit early — same
+    rationale as occluded()'s chunk_size.
+    """
+    R = origins.shape[0]
+    P = packet
+    pad = (-R) % P
+
+    def padp(x, fill=0):
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+        )
+
+    tm_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    act_full = jnp.ones((R,), bool) if active is None else active
+    o = padp(origins).reshape(-1, P, 3)
+    d = padp(directions).reshape(-1, P, 3)
+    tm = padp(tm_full).reshape(-1, P)
+    act = padp(act_full).reshape(-1, P)  # pad lanes inactive
+    K = o.shape[0]
+
+    if chunk_packets is not None and K > chunk_packets:
+        kpad = (-K) % chunk_packets
+
+        def padk(x, fill=0):
+            if not kpad:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((kpad,) + x.shape[1:], fill, x.dtype)]
+            )
+
+        G = (K + kpad) // chunk_packets
+        shp = (G, chunk_packets)
+
+        def one(args):
+            oo, dd, tt, aa = args
+            return _occluded_packets_core(
+                tlas_rows, blas_rows, instance_rows, tri_pos,
+                oo, dd, tt, aa, max_steps,
+            )
+
+        res = jax.lax.map(
+            one,
+            (
+                padk(o).reshape(shp + (P, 3)),
+                padk(d).reshape(shp + (P, 3)),
+                padk(tm).reshape(shp + (P,)),
+                padk(act).reshape(shp + (P,)),
+            ),
+        )
+        return OcclusionResult(
+            hit=res.hit.reshape(-1)[:R],
+            overflow=jnp.sum(res.overflow),
+            exhausted=jnp.sum(res.exhausted),
+        )
+    res = _occluded_packets_core(
+        tlas_rows, blas_rows, instance_rows, tri_pos, o, d, tm, act,
+        max_steps,
+    )
+    return OcclusionResult(
+        hit=res.hit.reshape(-1)[:R],
+        overflow=res.overflow,
+        exhausted=res.exhausted,
+    )
+
+
+def _occluded_packets_core(
+    tlas_rows, blas_rows, instance_rows, tri_pos, o, d, tm, act, max_steps
+):
+    """(K, P, 3) packet rays -> OcclusionResult with (K, P) hit."""
+    K, P = o.shape[:2]
+    inv0 = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    stack0 = jnp.zeros((K, STACK), jnp.int32)
+    stack0 = stack0.at[:, 0].set(1)  # TLAS root
+    sp0 = jnp.where(jnp.any(act, axis=1), 1, 0).astype(jnp.int32)
+
+    state = dict(
+        stack=stack0,
+        sp=sp0,
+        hit=jnp.zeros((K, P), bool),
+        co=o,
+        cd=d,
+        cinv=inv0,
+        # per-lane gate: this lane's own slab hit of the TLAS leaf whose
+        # instance the packet is currently inside (per-ray entry parity)
+        lane_in=jnp.zeros((K, P), bool),
+        tri_base=jnp.zeros((K,), jnp.int32),
+        bvh_base=jnp.zeros((K,), jnp.int32),
+        steps=jnp.asarray(0, jnp.int32),
+        ovf=jnp.asarray(0, jnp.int32),
+    )
+    kk = jnp.arange(K)
+
+    def cond(s):
+        live = jnp.any(act & ~s["hit"], axis=1)
+        return jnp.any((s["sp"] > 0) & live) & (s["steps"] < max_steps)
+
+    def body(s):
+        lane_live = act & ~s["hit"]  # (K, P)
+        pa = (s["sp"] > 0) & jnp.any(lane_live, axis=1)  # (K,)
+        top = jnp.maximum(s["sp"] - 1, 0)
+        entry = s["stack"][kk, top]
+        sp = jnp.where(pa, s["sp"] - 1, s["sp"])
+
+        is_blas = entry < 0
+        t_node = jnp.where(pa & ~is_blas, entry - 1, 0)
+        b_node = jnp.where(pa & is_blas, -entry - 1, 0)
+
+        # --- TLAS step (original rays) -------------------------------
+        trow = tlas_rows[t_node]  # (K, 8)
+        t_hit = _slab(
+            o, inv0, trow[:, None, 0:3], trow[:, None, 4:7], tm
+        ) & lane_live  # (K, P)
+        t_leaf = trow[:, 3] < 0.0
+        t_act = pa & ~is_blas & jnp.any(t_hit, axis=1)
+
+        left = trow[:, 3].astype(jnp.int32) + 1
+        right = trow[:, 7].astype(jnp.int32) + 1
+        push2 = t_act & ~t_leaf
+
+        inst = jnp.where(t_leaf, trow[:, 7], 0.0).astype(jnp.int32)
+        irow = instance_rows[jnp.where(t_act & t_leaf, inst, 0)]  # (K, 24)
+        # fastmath with a broadcast packet axis: IDENTICAL float order to
+        # the per-ray path (bit-exactness depends on it)
+        inv_t = irow[:, :16].reshape(K, 1, 4, 4)
+        o_obj = fastmath.mat4_point(inv_t, o)
+        d_obj = fastmath.mat3_vec(inv_t[:, :, :3, :3], d)
+        enter = t_act & t_leaf
+        em = enter[:, None, None]
+        co = jnp.where(em, o_obj, s["co"])
+        cd = jnp.where(em, d_obj, s["cd"])
+        cinv = jnp.where(
+            em,
+            1.0 / jnp.where(jnp.abs(d_obj) > 1e-20, d_obj, 1e-20),
+            s["cinv"],
+        )
+        lane_in = jnp.where(enter[:, None], t_hit, s["lane_in"])
+        tri_base = jnp.where(
+            enter, irow[:, 17].astype(jnp.int32), s["tri_base"]
+        )
+        bvh_base = jnp.where(
+            enter, irow[:, 16].astype(jnp.int32), s["bvh_base"]
+        )
+        blas_root = irow[:, 16].astype(jnp.int32)
+
+        # --- BLAS step (current object-space rays) -------------------
+        brow = blas_rows[b_node]  # (K, 8)
+        b_hit = _slab(
+            s["co"], s["cinv"], brow[:, None, 0:3], brow[:, None, 4:7], tm
+        ) & lane_live & s["lane_in"]  # (K, P) own-lane leaf gate
+        b_count = brow[:, 7].astype(jnp.int32)
+        b_leaf = b_count > 0
+        b_act = pa & is_blas & jnp.any(b_hit, axis=1)
+        b_left = brow[:, 3].astype(jnp.int32)
+
+        hit = s["hit"]
+        for i in range(MAX_LEAF):
+            in_leaf = b_act & b_leaf & (i < b_count)  # (K,)
+            tri = tri_pos[
+                jnp.where(in_leaf, s["tri_base"] + b_left + i, 0)
+            ]  # (K, 9)
+            h = _tri_hit(
+                s["co"], s["cd"], tri[:, None, 0:3], tri[:, None, 3:6],
+                tri[:, None, 6:9], tm,
+            )  # (K, P)
+            hit = hit | (in_leaf[:, None] & b_hit & h)
+
+        stack = s["stack"]
+        ovf = s["ovf"]
+
+        def push(stack, sp, ovf, mask, value):
+            full = mask & (sp >= STACK)
+            write = mask & ~full
+            slot = jnp.minimum(sp, STACK - 1)
+            newcol = jnp.where(write, value, stack[kk, slot])
+            stack = stack.at[kk, slot].set(newcol)
+            sp = jnp.where(write, sp + 1, sp)
+            return stack, sp, ovf + jnp.sum(full.astype(jnp.int32))
+
+        stack, sp, ovf = push(stack, sp, ovf, push2, left)
+        stack, sp, ovf = push(stack, sp, ovf, push2, right)
+        stack, sp, ovf = push(stack, sp, ovf, enter, -(blas_root + 1))
+        push_b = b_act & ~b_leaf
+        stack, sp, ovf = push(
+            stack, sp, ovf, push_b, -(bvh_base + b_left + 1)
+        )
+        stack, sp, ovf = push(
+            stack, sp, ovf, push_b, -(bvh_base + b_left + 2)
+        )
+
+        return dict(
+            stack=stack,
+            sp=sp,
+            hit=hit,
+            co=co,
+            cd=cd,
+            cinv=cinv,
+            lane_in=lane_in,
+            tri_base=tri_base,
+            bvh_base=bvh_base,
+            steps=s["steps"] + 1,
+            ovf=ovf,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    exhausted = jnp.sum(
+        ((out["sp"] > 0) & jnp.any(act & ~out["hit"], axis=1)).astype(
+            jnp.int32
+        )
+    )
+    return OcclusionResult(
+        hit=out["hit"], overflow=out["ovf"], exhausted=exhausted
+    )
+
+
 def scene_rays(scene):
     """Convenience: packed traversal tables from SceneData."""
     m = scene.meshes
