@@ -89,14 +89,15 @@ AB_VARIANTS = {
     # INCREMENTALLY — the expected winners go right after base so a sweep
     # cut short by the watcher timeout still yields them.
     "base": (dict(), False, 1, "off"),
-    # quad-rate resolve + quad-block TAA history are bit-exact with the
-    # default path (tests/test_resolve_quad.py, test_taa_quad.py) and
-    # exclude fused_resolve_rec
+    # quad-rate resolve + quad-block TAA history + quad-rate albedo tap
+    # are bit-exact with the default path (tests/test_resolve_quad.py,
+    # test_taa_quad.py, test_texture_meta.py) and exclude fused_resolve_rec
     "all_q": (
         dict(quad_rate_resolve=True, inst_rec_f16=True,
-             taa_quad_history=True), True, 2, "on"
+             taa_quad_history=True, tap_block=True), True, 2, "on"
     ),
     "taa_quad": (dict(taa_quad_history=True), False, 1, "off"),
+    "tap_block": (dict(tap_block=True), False, 1, "off"),
     "all_lut": (
         dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "on"
     ),
@@ -369,6 +370,7 @@ def run_preset(n, profile=False, rt_scale=0, ab=True):
         tile_tri_capacity=p.tile_tri_capacity,
         quad_edge_capacity=p.quad_edge_capacity,
         taa_edge_capacity=p.taa_edge_capacity,
+        tap_edge_capacity=p.tap_edge_capacity,
         rt_packet=p.rt_packet,
         interpret=backend == "cpu",
         **ab_cfg,
@@ -503,6 +505,9 @@ def main():
         # TAA edge quads: 1.4k at the bench pose (velocity-coherent
         # static camera); 1<<12 leaves 3x headroom
         taa_edge_capacity=0 if args.smoke else 1 << 12,
+        # tap-block edge quads: 18.6k at the bench pose
+        # (tools/count_edge_quads.py) -> 1<<15 with 76% headroom
+        tap_edge_capacity=0 if args.smoke else 1 << 15,
         **ab_cfg,
     )
     r = Renderer(world.device(), cfg, moving_ids=moving,

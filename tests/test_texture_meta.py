@@ -71,6 +71,75 @@ def test_sample_trilinear_meta_fast_paths_bit_identical():
     )
 
 
+def test_sample_trilinear_quadblock_bit_identical():
+    """The quad-rate tap must reproduce sample_trilinear exactly on (H, W)
+    grids — smooth uv (uniform quads), jumpy uv/texture/level (edge path),
+    wrap seams, and the overflow fallback must stay finite + counted."""
+    pool = _pool()
+    tp = pool.device()
+    H, W = 32, 64
+    rng = np.random.default_rng(21)
+
+    def run(tex_id, uv, lod, cap=0):
+        whg = tp.size[tex_id]
+        wh = (whg[..., 0].astype(jnp.float32),
+              whg[..., 1].astype(jnp.float32))
+        base = tex_mod.sample_trilinear(tp, tex_id, uv, lod, wh=wh)
+        quad, ovf = tex_mod.sample_trilinear_quadblock(
+            tp, tex_id, uv, lod, wh=wh, capacity=cap
+        )
+        return np.asarray(base), np.asarray(quad), int(ovf)
+
+    # smooth screen-like uv + lod (mostly uniform quads)
+    yy, xx = np.meshgrid(
+        np.linspace(-0.2, 1.3, H), np.linspace(-0.1, 2.1, W), indexing="ij"
+    )
+    uv = jnp.asarray(np.stack([xx, yy], -1).astype(np.float32))
+    lod = jnp.asarray(
+        (xx * 2.0 + yy).astype(np.float32)
+    )
+    tex_id = jnp.full((H, W), 4, jnp.int32)
+    b, q, ovf = run(tex_id, uv, lod)
+    np.testing.assert_array_equal(b, q)
+    assert ovf == 0
+
+    # adversarial: random uv/lod/texture per pixel (nearly all edge quads)
+    uv_r = jnp.asarray(rng.uniform(-2, 3, (H, W, 2)).astype(np.float32))
+    lod_r = jnp.asarray(rng.uniform(0, 9, (H, W)).astype(np.float32))
+    tex_r = jnp.asarray(rng.integers(4, 7, (H, W)).astype(np.int32))
+    b, q, ovf = run(tex_r, uv_r, lod_r)
+    np.testing.assert_array_equal(b, q)
+    assert ovf == 0  # default capacity covers every quad
+
+    # overflow: tiny capacity — counted, anchor-block fallback stays finite
+    _, q, ovf = run(tex_r, uv_r, lod_r, cap=8)
+    assert ovf > 0
+    assert np.isfinite(q).all()
+
+
+def test_resolve_tap_block_bit_identical():
+    """Through resolve_gbuffer: RasterConfig.tap_block must not change a
+    single G-buffer/aux value (composes with quad_rate_resolve = the
+    all_q sweep variant)."""
+    import dataclasses
+
+    from tests.test_resolve_quad import (
+        CFG, _assert_identical, _camera, _gb_of, _textured_scene,
+    )
+
+    scene = _textured_scene().device()
+    cam = _camera(CFG.width / CFG.height)
+    base = _gb_of(scene, cam, CFG)
+    tap = _gb_of(scene, cam, dataclasses.replace(CFG, tap_block=True))
+    _assert_identical(base, tap)
+    assert int(tap[1].overflow) == 0
+    both = _gb_of(
+        scene, cam,
+        dataclasses.replace(CFG, tap_block=True, quad_rate_resolve=True),
+    )
+    _assert_identical(base, both)
+
+
 def test_upsample2x_matches_jax_image_resize():
     """The static-shift 2x bilinear upsample (half-res area lights) must
     reproduce jax.image.resize('bilinear') samples."""

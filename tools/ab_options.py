@@ -61,7 +61,7 @@ def main():
     scene = world.device()
     cfg0 = RasterConfig(
         width=1920, height=1080, tri_capacity=1 << 19,
-        pair_capacity=1 << 19, tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12,
+        pair_capacity=1 << 19, tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15,
         interpret=backend == "cpu",
     )
     cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,

@@ -55,7 +55,7 @@ def main():
     world, moving = build_world()
     cfg = RasterConfig(
         width=1920, height=1080, tri_capacity=1 << 19, pair_capacity=1 << 19,
-        tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, interpret=backend == "cpu", **ab_cfg,
+        tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15, interpret=backend == "cpu", **ab_cfg,
     )
     scene = world.device()
     cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,

@@ -51,7 +51,7 @@ def main():
     cfg = RasterConfig(
         width=args.width, height=args.height,
         tri_capacity=1 << 19, pair_capacity=1 << 19,
-        tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, interpret=True, **ab_cfg,
+        tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15, interpret=True, **ab_cfg,
     )
     scene = world.device()
     uniform = vt.Camera(

@@ -107,17 +107,29 @@ def main():
             (jnp.max(x4, (2, 3)) - jnp.min(x4, (2, 3)) > 2)
             | (jnp.max(y4, (2, 3)) - jnp.min(y4, (2, 3)) > 2)
         )
-        return (jnp.sum(nonuni.astype(jnp.int32)),
-                jnp.sum(spread.astype(jnp.int32)), vis.overflow)
+        # albedo-tap edge quads (texture/mip/wrap straddles): run the
+        # tap-block resolve at capacity 1 — its overflow counter + 1 IS
+        # the edge count
+        import dataclasses as _dc
 
-    counts, tcounts = [], []
+        cfg_tap = _dc.replace(cfg, tap_block=True, tap_edge_capacity=1)
+        _gb2, aux2 = resolve_pass.resolve_gbuffer(scene_, vis, uni, cfg_tap)
+        return (jnp.sum(nonuni.astype(jnp.int32)),
+                jnp.sum(spread.astype(jnp.int32)),
+                aux2.overflow + 1, vis.overflow)
+
+    counts, tcounts, tapcounts = [], [], []
     for f in range(args.frames):
-        c, tc, ovf = edge_count(scene, jnp.asarray(f / 60.0, jnp.float32))
+        c, tc, tpc, ovf = edge_count(
+            scene, jnp.asarray(f / 60.0, jnp.float32)
+        )
         counts.append(int(c))
         tcounts.append(int(tc))
+        tapcounts.append(int(tpc))
         print(f"frame {f}: edge quads {int(c)} "
               f"({100 * int(c) / (H * W // 4):.1f}% of {H * W // 4}) "
-              f"taa-edge {int(tc)} overflow {int(ovf)}", flush=True)
+              f"taa-edge {int(tc)} tap-edge {int(tpc)} "
+              f"overflow {int(ovf)}", flush=True)
 
     def cap_of(mx):
         cap = 1 << max((mx - 1).bit_length(), 10)
@@ -129,6 +141,8 @@ def main():
           f"{cap_of(max(counts))}")
     print(f"taa max {max(tcounts)} -> suggested taa_edge_capacity "
           f"{cap_of(max(tcounts))}")
+    print(f"tap max {max(tapcounts)} -> suggested tap_edge_capacity "
+          f"{cap_of(max(tapcounts))}")
 
 
 if __name__ == "__main__":

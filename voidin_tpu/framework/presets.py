@@ -56,6 +56,7 @@ class Preset:
     # fixed pose, next-pow2 with ~25% headroom; overflow counted).
     quad_edge_capacity: int = 1 << 16
     taa_edge_capacity: int = 1 << 11
+    tap_edge_capacity: int = 0  # 0 = auto (n_quads // 4)
     # Packet traversal size for raytraced-shadow presets (bit-exact; see
     # RasterConfig.rt_packet). 0 = per-ray lock-step loop.
     rt_packet: int = 0

@@ -18,7 +18,10 @@ from ..scene.scene import SceneData
 
 
 # v2: MeshPoolData gained lod_table/lod_thresh, TlasData gained refit_*.
-SNAPSHOT_VERSION = 2
+# v3: TexturePoolData gained child_blocks/parent_blocks (quad-rate tap).
+#     SceneData's per-slot sRGB statics are NOT snapshotted: a loaded
+#     scene falls back to the per-pixel flag gather — identical samples.
+SNAPSHOT_VERSION = 3
 
 
 def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):

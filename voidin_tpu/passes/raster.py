@@ -116,6 +116,13 @@ class RasterConfig:
     # once per ray. BIT-EXACT (tests/test_traverse.py); 0 = per-ray
     # lock-step loop.
     rt_packet: int = 0
+    # Quad-rate albedo tap (texture.sample_trilinear_quadblock): two 4x4
+    # block rows per uniform 2x2 pixel quad instead of four 32 B quad
+    # rows. Bit-exact (tests/test_texture_meta.py); edge quads (texture/
+    # mip/wrap-seam straddles) go through a compacted per-pixel batch
+    # (tap_edge_capacity, 0 = n_quads // 4). A/B on TPU before enabling.
+    tap_block: bool = False
+    tap_edge_capacity: int = 0
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W

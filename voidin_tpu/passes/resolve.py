@@ -197,7 +197,7 @@ def _quad_fetch(scene: SceneData, vis: VisBuffer, tri_id,
 
 def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
                   x_ndc, y_ndc, want_aux: bool = True, lod_probe=None,
-                  inst_f16: bool = False, rows=None):
+                  inst_f16: bool = False, rows=None, tap_block_cap=None):
     """Core per-pixel resolve for an arbitrary pixel-set shape S.
 
     tri_id/depth: shape S (raw ids, -1 = background). x_ndc/y_ndc: NDC
@@ -283,10 +283,23 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
         lod = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-8)), 0.0, 16.0)
 
     # wh from the fused record + the scene's static sRGB slot flag: the
-    # tap costs ONE texel-row gather, no per-pixel metadata gathers.
-    albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod,
-                              wh=(tex_w, tex_h),
-                              srgb=getattr(scene, "albedo_srgb", None))
+    # tap costs ONE texel-row gather, no per-pixel metadata gathers. With
+    # tap_block_cap (RasterConfig.tap_block) the dense tap drops to TWO
+    # block rows per 2x2 pixel QUAD (sample_trilinear_quadblock).
+    tap_ovf = None
+    if tap_block_cap is not None and len(S) == 2 and S[0] % 2 == 0 \
+            and S[1] % 2 == 0:
+        from ..scene.texture import sample_trilinear_quadblock
+
+        albedo, tap_ovf = sample_trilinear_quadblock(
+            scene.textures, mat_albedo, uv, lod, wh=(tex_w, tex_h),
+            srgb=getattr(scene, "albedo_srgb", None),
+            capacity=tap_block_cap,
+        )
+    else:
+        albedo = sample_trilinear(scene.textures, mat_albedo, uv, lod,
+                                  wh=(tex_w, tex_h),
+                                  srgb=getattr(scene, "albedo_srgb", None))
 
     n_geo = _normalize(n_ws)
     if getattr(scene, "no_normal_maps", False):
@@ -320,6 +333,8 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
         keep=keep,
         cut=cut,
     )
+    if tap_ovf is not None:
+        out["tap_overflow"] = tap_ovf
     if not want_aux:
         return out
 
@@ -442,6 +457,12 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
         )
     quad_cap = getattr(config, "quad_edge_capacity", 0)
     quad_ovf = jnp.zeros((), jnp.int32)
+    track_ovf = quad or getattr(config, "tap_block", False)
+
+    tap_cap = None
+    if getattr(config, "tap_block", False):
+        tap_cap = getattr(config, "tap_edge_capacity", 0) \
+            or max((H // 2) * (W // 2) // 4, 1024)
 
     def dense_fields(tri_id, depth, want_aux=True):
         """Dense (H, W) resolve; quad-rate gathers when enabled."""
@@ -451,12 +472,16 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
             rows, ovf = _quad_fetch(scene, vis, tri_id, inst_f16=f16,
                                     capacity=quad_cap)
             quad_ovf = quad_ovf + ovf
-        return _pixel_fields(scene, vis, tri_id, depth, x_ndc, y_ndc,
-                             want_aux=want_aux, inst_f16=f16, rows=rows)
+        f = _pixel_fields(scene, vis, tri_id, depth, x_ndc, y_ndc,
+                          want_aux=want_aux, inst_f16=f16, rows=rows,
+                          tap_block_cap=tap_cap)
+        if "tap_overflow" in f:
+            quad_ovf = quad_ovf + f.pop("tap_overflow")
+        return f
 
     if vis.tri_id2 is None:
         fields = dense_fields(vis.tri_id, vis.depth)
-        return _assemble(fields, overflow=quad_ovf if quad else None)
+        return _assemble(fields, overflow=quad_ovf if track_ovf else None)
 
     if not getattr(config, "lazy_alpha_resolve", False):
         # Dense two-pass fallback (kept as the oracle twin for the lazy
@@ -467,7 +492,7 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
         tid = jnp.where(fall, vis.tri_id2, vis.tri_id)
         dep = jnp.where(fall, vis.depth2, vis.depth)
         fields = dense_fields(tid, dep)
-        return _assemble(fields, overflow=quad_ovf if quad else None)
+        return _assemble(fields, overflow=quad_ovf if track_ovf else None)
 
     # Lazy fallback: full resolve of the winners (this IS the final result
     # for every non-cut pixel), then a compacted flat batch over the cut

@@ -128,6 +128,13 @@ class TexturePoolData:
     size: jnp.ndarray  # (T, 2) i32 (w, h) at level 0
     max_lod: jnp.ndarray  # (T,) f32 highest meaningful mip per texture
     srgb: jnp.ndarray  # (T,) bool — decode rgb after filtering
+    # (T * TOTAL, 64) u8: the texel's 4x4 wrap-baked neighborhood, child
+    # level / resampled-parent — the quad-rate tap
+    # (sample_trilinear_quadblock) fetches the 2x2 bilinear footprints of
+    # FOUR screen pixels from one child + one parent block row. Derived
+    # from `quads` (corner columns) at device() time.
+    child_blocks: jnp.ndarray = None
+    parent_blocks: jnp.ndarray = None
     level_offset: tuple = struct.field(pytree_node=False, default=None)
     base_size: int = struct.field(pytree_node=False, default=0)
     total: int = struct.field(pytree_node=False, default=0)
@@ -264,11 +271,39 @@ class TexturePool:
                 )
                 block = quads[t, offsets[li] : offsets[li] + s * s].reshape(s, s, 32)
                 block[:lh, :lw] = q[:s, :s]
+        # 4x4 block tables for the quad-rate tap, derived from the packed
+        # quads so native- and numpy-packed pools agree: corner c00 of a
+        # quad row IS the texel, columns 16:20 its resampled-parent value.
+        child_blocks = np.zeros((T, total, 64), np.uint8)
+        parent_blocks = np.zeros((T, total, 64), np.uint8)
+        for t in range(T):
+            w0, h0 = int(wh[t, 0]), int(wh[t, 1])
+            for li, s in enumerate(sizes):
+                lw, lh = max(w0 >> li, 1), max(h0 >> li, 1)
+                rows = quads[t, offsets[li] : offsets[li] + s * s]
+                grid = rows.reshape(s, s, 32)
+                child = grid[:lh, :lw, 0:4]
+                parent = grid[:lh, :lw, 16:20]
+
+                def blk(img):
+                    cols = [
+                        np.roll(np.roll(img, -j, axis=0), -i, axis=1)
+                        for j in range(4)
+                        for i in range(4)
+                    ]
+                    return np.concatenate(cols, axis=-1)  # (lh, lw, 64)
+
+                cb = child_blocks[t, offsets[li] : offsets[li] + s * s]
+                pb = parent_blocks[t, offsets[li] : offsets[li] + s * s]
+                cb.reshape(s, s, 64)[:lh, :lw] = blk(child)
+                pb.reshape(s, s, 64)[:lh, :lw] = blk(parent)
         return TexturePoolData(
             quads=jnp.asarray(quads.reshape(T * total, 32)),
             size=jnp.asarray(wh),
             max_lod=jnp.asarray(max_lod),
             srgb=jnp.asarray(np.asarray(self.srgb_flags, bool)),
+            child_blocks=jnp.asarray(child_blocks.reshape(T * total, 64)),
+            parent_blocks=jnp.asarray(parent_blocks.reshape(T * total, 64)),
             level_offset=tuple(int(o) for o in offsets),
             base_size=S,
             total=total,
@@ -402,6 +437,140 @@ def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None,
     else:
         rgb = raw[..., :3]
     return jnp.concatenate([rgb, raw[..., 3:4]], axis=-1)
+
+
+def sample_trilinear_quadblock(pool: TexturePoolData, tex_id, uv, lod,
+                               wh, srgb=None, capacity: int = 0):
+    """Quad-rate trilinear tap over an (H, W) pixel grid: the 2x2 bilinear
+    footprints of a 2x2 PIXEL quad land within ~1 texel of each other at a
+    proper mip level, so ONE child-block + ONE parent-block 4x4 row (64 B
+    each, pool.child_blocks/parent_blocks) serve all four pixels — 2
+    gather rows per quad instead of 4 (TPU gathers are row-rate bound).
+    Quads that straddle a texture, mip level, wrap seam, or >3-texel
+    spread go through a compacted per-pixel batch on the regular 32 B
+    quad rows. BIT-IDENTICAL to sample_trilinear(..., wh=wh, srgb=srgb):
+    same texels (the blocks bake the same wrap), same lerp and mip-blend
+    order (tests/test_texture_meta.py).
+
+    Returns (samples (H, W, 4) linear-space, edge-overflow count).
+    """
+    H, W = lod.shape
+    Hq, Wq = H // 2, W // 2
+    w0, h0 = wh
+    lodc = jnp.clip(lod, 0.0, derived_max_lod(w0, h0))
+    l0 = jnp.floor(lodc)
+    frac = lodc - l0
+    level = l0.astype(jnp.int32)
+    lw = jnp.maximum(w0.astype(jnp.int32) >> level, 1)
+    lh = jnp.maximum(h0.astype(jnp.int32) >> level, 1)
+    stride = jnp.maximum(pool.base_size >> level, 1)
+    off = _level_offset_closed(pool.base_size, level)
+    fx = uv[..., 0] * lw.astype(jnp.float32) - 0.5
+    fy = uv[..., 1] * lh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), lw)
+    y0i = jnp.mod(y0.astype(jnp.int32), lh)
+    tid = tex_id.astype(jnp.int32)
+    idx_img = tid * pool.total + off + y0i * stride + x0i  # per-pixel row
+
+    def q4(a):  # (H, W) -> (Hq, Wq, 2, 2)
+        return a.reshape(Hq, 2, Wq, 2).transpose(0, 2, 1, 3)
+
+    tex4, lev4 = q4(tid), q4(level)
+    x4, y4 = q4(x0i), q4(y0i)
+    bx = jnp.min(x4, axis=(2, 3))
+    by = jnp.min(y4, axis=(2, 3))
+    a00 = lambda a: a[:, :, 0, 0]  # noqa: E731 quad anchor
+    uniform = (
+        jnp.all(tex4 == tex4[:, :, :1, :1], axis=(2, 3))
+        & jnp.all(lev4 == lev4[:, :, :1, :1], axis=(2, 3))
+        & (jnp.max(x4, axis=(2, 3)) - bx <= 2)
+        & (jnp.max(y4, axis=(2, 3)) - by <= 2)
+    )
+    bidx = (
+        a00(q4(tid)) * pool.total + a00(q4(off))
+        + by * a00(q4(stride)) + bx
+    )
+    scale = jnp.float32(1.0 / 255.0)
+    cb = (pool.child_blocks[bidx].astype(jnp.float32) * scale).reshape(
+        Hq, Wq, 4, 4, 4
+    )  # [j, i, rgba]
+    pb = (pool.parent_blocks[bidx].astype(jnp.float32) * scale).reshape(
+        Hq, Wq, 4, 4, 4
+    )
+    ox = jnp.clip(x4 - bx[..., None, None], 0, 2)
+    oy = jnp.clip(y4 - by[..., None, None], 0, 2)
+    oh_y = (oy[..., None] == jnp.arange(3)).astype(jnp.float32)
+    oh_x = (ox[..., None] == jnp.arange(3)).astype(jnp.float32)
+
+    def corner(blk, dy, dx):  # (Hq, Wq, 2, 2, 4) one-hot select
+        sub = blk[:, :, dy : dy + 3, dx : dx + 3, :]
+        return jnp.einsum("hwjic,hwpqj,hwpqi->hwpqc", sub, oh_y, oh_x)
+
+    def unq(a):  # (Hq, Wq, 2, 2, 4) -> (H, W, 4)
+        return a.transpose(0, 2, 1, 3, 4).reshape(H, W, 4)
+
+    def bilin(blk):
+        c00 = unq(corner(blk, 0, 0))
+        c10 = unq(corner(blk, 0, 1))
+        c01 = unq(corner(blk, 1, 0))
+        c11 = unq(corner(blk, 1, 1))
+        top = c00 + (c10 - c00) * tx
+        bot = c01 + (c11 - c01) * tx
+        return top + (bot - top) * ty
+
+    child = bilin(cb)
+    parent = bilin(pb)
+    raw = child + (parent - child) * frac[..., None]
+
+    # edge quads: per-pixel 32 B quad rows, scattered back
+    F = capacity or max(Hq * Wq // 4, 1024)
+    flat = (~uniform).reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    qidx = jnp.nonzero(flat, size=F, fill_value=0)[0]
+    valid = jnp.arange(F) < jnp.minimum(count, F)
+    qy = qidx // Wq
+    qx = qidx - qy * Wq
+    py = jnp.concatenate([qy * 2, qy * 2, qy * 2 + 1, qy * 2 + 1])
+    px = jnp.concatenate([qx * 2, qx * 2 + 1, qx * 2, qx * 2 + 1])
+    pix = py * W + px  # (4F,)
+    idx_e = idx_img.reshape(-1)[pix]
+    qrow = pool.quads[idx_e].astype(jnp.float32) * scale  # (4F, 32)
+    txe = tx.reshape(-1, 1)[pix]
+    tye = ty.reshape(-1, 1)[pix]
+
+    def bilin_e(base):
+        c00 = qrow[:, base : base + 4]
+        c10 = qrow[:, base + 4 : base + 8]
+        c01 = qrow[:, base + 8 : base + 12]
+        c11 = qrow[:, base + 12 : base + 16]
+        top = c00 + (c10 - c00) * txe
+        bot = c01 + (c11 - c01) * txe
+        return top + (bot - top) * tye
+
+    frace = frac.reshape(-1, 1)[pix]
+    ch_e = bilin_e(0)
+    vals = ch_e + (bilin_e(16) - ch_e) * frace
+    widx = jnp.where(jnp.concatenate([valid] * 4), pix, H * W)
+    raw = (
+        raw.reshape(H * W, 4).at[widx].set(vals, mode="drop")
+        .reshape(H, W, 4)
+    )
+
+    if srgb is None:
+        decode = pool.srgb[tid][..., None]
+        rgb = jnp.where(
+            decode, srgb_to_linear_jnp(raw[..., :3]), raw[..., :3]
+        )
+    elif srgb:
+        rgb = srgb_to_linear_jnp(raw[..., :3])
+    else:
+        rgb = raw[..., :3]
+    out = jnp.concatenate([rgb, raw[..., 3:4]], axis=-1)
+    return out, jnp.maximum(count - F, 0)
 
 
 def pack_lut_quads(table: np.ndarray) -> np.ndarray:
