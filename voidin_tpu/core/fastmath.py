@@ -101,3 +101,23 @@ def compose_mat4(a, b):
     wide = jnp.transpose(b, (1, 0, 2)).reshape(4, n * 4)
     out = (a @ wide).reshape(4, n, 4)
     return jnp.transpose(out, (1, 0, 2))
+
+
+def compact_indices(mask_flat, size):
+    """Indices of the True entries of a flat bool mask, ascending, padded
+    to `size` — the compaction primitive behind every edge-quad / cut-
+    pixel batch. jnp.nonzero(size=) lowers to a FULL-LENGTH scatter
+    (~6.6 ns/row on TPU, ~3.4 ms per megapixel mask); a stable argsort of
+    the inverted mask yields the same first-count indices as a sort
+    (~2 ms/M keys). Pad slots hold arbitrary (False-entry) indices rather
+    than nonzero's fill_value — every call site already masks slots with
+    arange(size) < count, so results are unchanged."""
+    order = jnp.argsort(mask_flat.astype(jnp.uint8), descending=True,
+                        stable=True)
+    n = order.shape[0]
+    if size <= n:
+        return order[:size]
+    # capacity beyond the mask length (tiny images): pad like nonzero does
+    return jnp.concatenate(
+        [order, jnp.zeros(size - n, order.dtype)]
+    )

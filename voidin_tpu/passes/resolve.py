@@ -175,7 +175,7 @@ def _quad_fetch(scene: SceneData, vis: VisBuffer, tri_id,
     F = capacity or max(Hq * Wq // 4, 1024)
     flat = (~uniform).reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
-    qidx = jnp.nonzero(flat, size=F, fill_value=0)[0]  # (F,) quad indices
+    qidx = fastmath.compact_indices(flat, F)  # (F,) quad indices
     valid = jnp.arange(F) < jnp.minimum(count, F)
     qy = qidx // Wq
     qx = qidx - qy * Wq
@@ -503,7 +503,7 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
 
     flat = fall.reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
-    idx = jnp.nonzero(flat, size=F, fill_value=0)[0]  # (F,) pixel indices
+    idx = fastmath.compact_indices(flat, F)  # (F,) pixel indices
     valid = jnp.arange(F) < jnp.minimum(count, F)
     tid2 = jnp.where(valid, vis.tri_id2.reshape(-1)[idx], -1)
     dep2 = vis.depth2.reshape(-1)[idx]

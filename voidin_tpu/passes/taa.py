@@ -203,7 +203,7 @@ def _bilinear_clamp_quadblock(img, u, v, capacity=0):
     F = capacity or max(Hq * Wq // 4, 1024)
     flat = (~ok).reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
-    qidx = jnp.nonzero(flat, size=F, fill_value=0)[0]
+    qidx = fastmath.compact_indices(flat, F)
     valid = jnp.arange(F) < jnp.minimum(count, F)
     qy = qidx // Wq
     qx = qidx - qy * Wq

@@ -530,7 +530,9 @@ def sample_trilinear_quadblock(pool: TexturePoolData, tex_id, uv, lod,
     F = capacity or max(Hq * Wq // 4, 1024)
     flat = (~uniform).reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
-    qidx = jnp.nonzero(flat, size=F, fill_value=0)[0]
+    from ..core.fastmath import compact_indices
+
+    qidx = compact_indices(flat, F)
     valid = jnp.arange(F) < jnp.minimum(count, F)
     qy = qidx // Wq
     qx = qidx - qy * Wq
