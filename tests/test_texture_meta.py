@@ -176,3 +176,34 @@ def test_slot_srgb_statics():
     )
     w.materials.add(albedo=t_lin)
     assert w.device().albedo_srgb is None
+
+
+def test_blockless_pool_falls_back_and_snapshots():
+    """World.device(tap_blocks=False): 1/3 the pool bytes; the tap-block
+    resolve silently falls back to per-pixel rows (same image), and the
+    snapshot roundtrip realigns the leaf stream without the block tables."""
+    import dataclasses
+
+    from tests.test_resolve_quad import (
+        CFG, _assert_identical, _camera, _gb_of, _textured_scene,
+    )
+    from voidin_tpu.io.snapshot import load_scene, save_scene
+
+    w = _textured_scene()
+    scene = w.device(tap_blocks=False)
+    assert scene.textures.child_blocks is None
+    cam = _camera(CFG.width / CFG.height)
+    base = _gb_of(scene, cam, CFG)
+    tap = _gb_of(scene, cam, dataclasses.replace(CFG, tap_block=True))
+    _assert_identical(base, tap)  # fallback: identical, just per-pixel
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/s.npz"
+        save_scene(p, scene)
+        loaded, _ = load_scene(p)
+        assert loaded.textures.child_blocks is None
+        np.testing.assert_array_equal(
+            np.asarray(scene.textures.quads), np.asarray(loaded.textures.quads)
+        )

@@ -45,6 +45,11 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
          scene.no_normal_maps], bool
     )
     payload["aux_mesh_flags"] = np.asarray([scene.meshes.has_lods], bool)
+    # None-valued pytree fields flatten to zero leaves — record which
+    # optional texture tables are present so load realigns the stream
+    payload["aux_tex_blocks"] = np.asarray(
+        [scene.textures.child_blocks is not None], bool
+    )
     # Bump when pytree fields change: old files CANNOT load anyway (the
     # leaf_i stream misaligns against the new dataclass fields), so load
     # fails loudly on a version mismatch instead of corrupting silently.
@@ -109,14 +114,16 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
     instances = take(InstanceData)
     materials = take(MaterialData)
     lights = take(LightData)
-    textures = take(
-        TexturePoolData,
-        static=dict(
-            level_offset=tuple(int(o) for o in data["aux_level_offset"]),
-            base_size=int(data["aux_base_size"][0]),
-            total=int(data["aux_base_size"][1]),
-        ),
+    tex_static = dict(
+        level_offset=tuple(int(o) for o in data["aux_level_offset"]),
+        base_size=int(data["aux_base_size"][0]),
+        total=int(data["aux_base_size"][1]),
     )
+    has_blocks = (bool(data["aux_tex_blocks"][0])
+                  if "aux_tex_blocks" in data else True)
+    if not has_blocks:
+        tex_static.update(child_blocks=None, parent_blocks=None)
+    textures = take(TexturePoolData, static=tex_static)
     ltc1 = next(it)
     ltc2 = next(it)
     ltc1_quads = next(it)

@@ -288,7 +288,8 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
     # block rows per 2x2 pixel QUAD (sample_trilinear_quadblock).
     tap_ovf = None
     if tap_block_cap is not None and len(S) == 2 and S[0] % 2 == 0 \
-            and S[1] % 2 == 0:
+            and S[1] % 2 == 0 \
+            and scene.textures.child_blocks is not None:
         from ..scene.texture import sample_trilinear_quadblock
 
         albedo, tap_ovf = sample_trilinear_quadblock(

@@ -169,7 +169,8 @@ class World:
             return None
         return flags.pop() if flags else False
 
-    def device(self, with_tlas: bool = False) -> SceneData:
+    def device(self, with_tlas: bool = False,
+               tap_blocks: bool = True) -> SceneData:
         from .texture import pack_lut_quads
 
         ltc1, ltc2 = load_ltc_tables()
@@ -179,7 +180,7 @@ class World:
             instances=self.instances.device(),
             materials=self.materials.device(textures=self.textures),
             lights=self.lights.device(),
-            textures=self.textures.device(),
+            textures=self.textures.device(blocks=tap_blocks),
             ltc1=jnp.asarray(ltc1),
             ltc2=jnp.asarray(ltc2),
             ltc1_quads=jnp.asarray(pack_lut_quads(ltc1)),

@@ -210,10 +210,15 @@ class TexturePool:
         self.srgb_flags.append(bool(srgb))
         return len(self.images) - 1
 
-    def device(self) -> TexturePoolData:
+    def device(self, blocks: bool = True) -> TexturePoolData:
         # Size the pool to the largest ACTUAL texture (pow2): gather cost
         # grows with table size, and a pool of 1x1 debug textures must not
         # pay a 1024^2-mip-chain table.
+        #
+        # `blocks`: also build the 4x4 block tables for the quad-rate tap
+        # (RasterConfig.tap_block) — 3x the pool bytes; pass False for
+        # memory-constrained scenes (the tap then falls back to the
+        # per-pixel quad rows).
         largest = max(max(i.shape[0], i.shape[1]) for i in self.images)
         S = 1
         while S < largest:
@@ -274,9 +279,9 @@ class TexturePool:
         # 4x4 block tables for the quad-rate tap, derived from the packed
         # quads so native- and numpy-packed pools agree: corner c00 of a
         # quad row IS the texel, columns 16:20 its resampled-parent value.
-        child_blocks = np.zeros((T, total, 64), np.uint8)
-        parent_blocks = np.zeros((T, total, 64), np.uint8)
-        for t in range(T):
+        child_blocks = np.zeros((T, total, 64), np.uint8) if blocks else None
+        parent_blocks = np.zeros((T, total, 64), np.uint8) if blocks else None
+        for t in range(T if blocks else 0):
             w0, h0 = int(wh[t, 0]), int(wh[t, 1])
             for li, s in enumerate(sizes):
                 lw, lh = max(w0 >> li, 1), max(h0 >> li, 1)
@@ -302,8 +307,10 @@ class TexturePool:
             size=jnp.asarray(wh),
             max_lod=jnp.asarray(max_lod),
             srgb=jnp.asarray(np.asarray(self.srgb_flags, bool)),
-            child_blocks=jnp.asarray(child_blocks.reshape(T * total, 64)),
-            parent_blocks=jnp.asarray(parent_blocks.reshape(T * total, 64)),
+            child_blocks=None if child_blocks is None else jnp.asarray(
+                child_blocks.reshape(T * total, 64)),
+            parent_blocks=None if parent_blocks is None else jnp.asarray(
+                parent_blocks.reshape(T * total, 64)),
             level_offset=tuple(int(o) for o in offsets),
             base_size=S,
             total=total,
