@@ -376,7 +376,10 @@ def run_preset(n, profile=False, rt_scale=0, ab=True):
         **ab_cfg,
     )
     r = Renderer(
-        p.world.device(with_tlas=p.with_tlas),
+        # block tables cost 3x the pool bytes — only build them when the
+        # tuned variant actually taps them
+        p.world.device(with_tlas=p.with_tlas,
+                       tap_blocks=bool(ab_cfg.get("tap_block", False))),
         cfg,
         enable_cull=p.enable_cull,
         enable_taa=p.enable_taa,
