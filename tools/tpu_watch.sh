@@ -32,3 +32,9 @@ python -u tools/bench_all.py --out BENCH_CONFIGS.json >> "$LOG" 2>&1
 echo "$(date +%T) bench_all done" >> "$LOG"
 timeout 3000 python -u tools/bisect_frame.py --out BENCH_DETAIL.json >> "$LOG" 2>&1
 echo "$(date +%T) bisect done — ALL CAPTURES COMPLETE" >> "$LOG"
+# Commit the capture artifacts so a round ending mid-session still
+# records them (idempotent: nothing staged -> no commit).
+git add AB_OPTIONS.json BENCH_CONFIGS.json BENCH_DETAIL.json 2>/dev/null
+git commit -q -m "TPU capture artifacts: A/B sweep, configs 0-5, per-stage profile" 2>/dev/null \
+  && echo "$(date +%T) artifacts committed" >> "$LOG" \
+  || echo "$(date +%T) no artifact changes to commit" >> "$LOG"
