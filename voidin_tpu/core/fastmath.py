@@ -10,6 +10,7 @@ in the frame goes through here.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -107,14 +108,26 @@ def compact_indices(mask_flat, size):
     """Indices of the True entries of a flat bool mask, ascending, padded
     to `size` — the compaction primitive behind every edge-quad / cut-
     pixel batch. jnp.nonzero(size=) lowers to a FULL-LENGTH scatter
-    (~6.6 ns/row on TPU, ~3.4 ms per megapixel mask); a stable argsort of
-    the inverted mask yields the same first-count indices as a sort
-    (~2 ms/M keys). Pad slots hold arbitrary (False-entry) indices rather
+    (~6.6 ns/row on TPU, ~3.4 ms per megapixel mask); a single-operand
+    sort of fused (mask, reversed-index) keys yields the same first-count
+    indices at ~2 ms/M keys. Pad slots hold arbitrary (False-entry)
+    indices rather
     than nonzero's fill_value — every call site already masks slots with
     arange(size) < count, so results are unchanged."""
-    order = jnp.argsort(mask_flat.astype(jnp.uint8), descending=True,
-                        stable=True)
-    n = order.shape[0]
+    n = mask_flat.shape[0]
+    # one-operand sort: pack (mask, reversed index) into a single u32 key
+    # — descending order puts True entries first with ascending indices,
+    # at half the cost of a two-operand argsort (sorts price per operand)
+    bits = max(int(n - 1).bit_length(), 1)
+    assert bits <= 31, "mask too large for fused compaction keys"
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    key = (mask_flat.astype(jnp.uint32) << bits) | (
+        jnp.uint32(n - 1) - iota
+    )
+    skey = jax.lax.sort(key, is_stable=False)[::-1]  # descending
+    order = (jnp.uint32(n - 1) - (
+        skey & jnp.uint32((1 << bits) - 1)
+    )).astype(jnp.int32)
     if size <= n:
         return order[:size]
     # capacity beyond the mask length (tiny images): pad like nonzero does
