@@ -102,10 +102,17 @@ AB_VARIANTS = {
         dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "on"
     ),
     "quad": (dict(quad_rate_resolve=True), False, 1, "off"),
+    # all_exact: every BIT-EXACT XLA-only coherence option and nothing
+    # else — no Pallas kernel, no f16/bf16/half-res image deviations. The
+    # UNSWEPT fallback in tuned_options: official numbers taken before any
+    # TPU sweep measure the base-fidelity image path (ADVICE r3).
+    "all_exact": (
+        dict(quad_rate_resolve=True, taa_quad_history=True, tap_block=True),
+        False, 1, "off"
+    ),
     # all_x: the composed variant with NO new Pallas kernel — every
     # component is XLA-only and CPU-proven (quad bit-exact, f16/bf16/half
-    # inside the image budget). Safe enough to be the UNSWEPT default in
-    # tuned_options when no TPU sweep has run yet.
+    # inside the image budget).
     "all_x": (
         dict(quad_rate_resolve=True, inst_rec_f16=True), True, 2, "off"
     ),
@@ -142,22 +149,23 @@ def ab_variants_stamp():
     }
 
 
-def tuned_options(path=None):
+def tuned_options(path=None, with_meta=False):
     """The fastest measured variant from AB_OPTIONS.json (written by
     tools/ab_options.py once the TPU answers — tools/tpu_watch.sh runs it).
-    With no valid TPU sweep the fallback is 'all_x', the composed variant
-    whose every component is XLA-only and CPU-proven (quad-rate resolve is
-    bit-exact; f16/bf16/half-res are image-budget-tested) — a tunnel that
-    only comes up for the driver's own bench run should not cost the
-    round the A/B wins. The Pallas LUT-kernel variants are never applied
-    unswept: they need the hardware bit-exactness guard first
-    (tools/check_kernel_hw.py, run by the watcher before any capture)."""
+    With no valid TPU sweep the fallback is 'all_exact', the composed
+    variant whose every component is XLA-only and BIT-EXACT with the base
+    image (no f16/bf16/half-res deviations) — official numbers taken
+    unswept measure the base-fidelity path (ADVICE r3). The Pallas
+    LUT-kernel variants are never applied unswept: they need the hardware
+    bit-exactness guard first (tools/check_kernel_hw.py, run by the
+    watcher before any capture). `with_meta`: also return whether a valid
+    TPU sweep backed the choice (callers stamp it into their JSON)."""
     import os
 
     if path is None:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "AB_OPTIONS.json")
-    name = "all_x"
+    name, swept = "all_exact", False
     try:
         with open(path) as f:
             d = json.load(f)
@@ -172,9 +180,11 @@ def tuned_options(path=None):
                 if k in AB_VARIANTS and isinstance(v, (int, float))
             }
             if ms:
-                name = min(ms, key=ms.get)
+                name, swept = min(ms, key=ms.get), True
     except Exception:
         pass
+    if with_meta:
+        return name, AB_VARIANTS[name], swept
     return name, AB_VARIANTS[name]
 
 
@@ -358,10 +368,11 @@ def run_preset(n, profile=False, rt_scale=0, ab=True):
 
         p = _dc.replace(p, rt_shadow_scale=rt_scale)
     if ab:
-        ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
+        ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut), ab_swept = \
+            tuned_options(with_meta=True)
         apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)
     else:
-        ab_name, ab_cfg, ab_ascale = "base", {}, 1
+        ab_name, ab_cfg, ab_ascale, ab_swept = "base", {}, 1, True
     cfg = RasterConfig(
         width=1920,
         height=1080,
@@ -420,6 +431,7 @@ def run_preset(n, profile=False, rt_scale=0, ab=True):
                 "vs_baseline": round(16.6 / ms, 4),
                 "overflow": int(r.aux["overflow"]),
                 "options": ab_name,
+                "options_swept": ab_swept,
             }
         )
     )
@@ -481,7 +493,8 @@ def main():
         )
         return
     world, moving = build_world(n_instances=300 if args.smoke else 10_000)
-    ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
+    ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut), ab_swept = \
+        tuned_options(with_meta=True)
     if args.smoke:
         # exercise every option path regardless of what the sweep found
         # (all_q is the strict superset: quad-rate resolve + f16 instance
@@ -557,6 +570,7 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(16.6 / ms, 4),
                 "options": ab_name,
+                "options_swept": ab_swept,
                 **({"smoke": True} if args.smoke else {}),
             }
         )

@@ -113,10 +113,10 @@ def test_ltc_polygon_annulus():
 
 def test_bench_tuned_options(tmp_path):
     """bench.tuned_options picks the fastest TPU-measured A/B variant.
-    Missing/CPU/stale/malformed captures fall back to 'all_x' — the
-    composed variant with no new Pallas kernel, every component CPU-proven
-    (quad-rate resolve bit-exact, f16/bf16/half inside the image budget) —
-    never to an unguarded Pallas-kernel variant."""
+    Missing/CPU/stale/malformed captures fall back to 'all_exact' — the
+    composed variant with no new Pallas kernel and no image deviations
+    (every component XLA-only and bit-exact with the base path) — never
+    to an unguarded Pallas-kernel variant (ADVICE r3)."""
     import json
     import os
     import sys
@@ -126,38 +126,42 @@ def test_bench_tuned_options(tmp_path):
     import bench
 
     # the unswept default must not enable the Pallas LUT kernel (needs the
-    # hardware bit-exactness guard first)
-    assert bench.AB_VARIANTS["all_x"][3] == "off"
+    # hardware bit-exactness guard first) nor any image deviation
+    # (bf16 LUT weights / half-res area lights / f16 instance records)
+    _cfg, _bf16, _ascale, _lut = bench.AB_VARIANTS["all_exact"]
+    assert _lut == "off" and not _bf16 and _ascale == 1
+    assert not _cfg.get("inst_rec_f16", False)
 
     p = str(tmp_path / "AB_OPTIONS.json")
     # no file -> unswept default
-    assert bench.tuned_options(p)[0] == "all_x"
+    assert bench.tuned_options(p)[0] == "all_exact"
     # cpu capture -> unswept default (only TPU timings steer the metric)
     with open(p, "w") as f:
         json.dump({"backend": "cpu",
                    "ms_per_variant": {"base": 10, "all": 5}}, f)
-    assert bench.tuned_options(p)[0] == "all_x"
+    assert bench.tuned_options(p)[0] == "all_exact"
     # tpu capture without a matching variant-definition stamp -> default
     # (a capture from an older build measured different semantics)
     with open(p, "w") as f:
         json.dump({"backend": "tpu",
                    "ms_per_variant": {"base": 10, "all": 5.5}}, f)
-    assert bench.tuned_options(p)[0] == "all_x"
+    assert bench.tuned_options(p)[0] == "all_exact"
     with open(p, "w") as f:
         stale = json.loads(json.dumps(bench.ab_variants_stamp()))
         stale["all"][1] = not stale["all"][1]
         json.dump({"backend": "tpu", "variants": stale,
                    "ms_per_variant": {"base": 10, "all": 5.5}}, f)
-    assert bench.tuned_options(p)[0] == "all_x"
+    assert bench.tuned_options(p)[0] == "all_exact"
     # tpu capture with the current stamp -> fastest variant wins (even
     # when slower than the default's expectation: measurements rule)
     with open(p, "w") as f:
         json.dump({"backend": "tpu", "variants": bench.ab_variants_stamp(),
                    "ms_per_variant": {"base": 10, "fused_rec": 8,
                                       "all": 5.5}}, f)
-    name, opts = bench.tuned_options(p)
-    assert name == "all" and opts == bench.AB_VARIANTS["all"]
+    name, opts, swept = bench.tuned_options(p, with_meta=True)
+    assert name == "all" and opts == bench.AB_VARIANTS["all"] and swept
+    assert bench.tuned_options(p, with_meta=True)[2] is True
     # malformed -> unswept default
     with open(p, "w") as f:
         f.write("not json")
-    assert bench.tuned_options(p)[0] == "all_x"
+    assert bench.tuned_options(p)[0] == "all_exact"

@@ -109,14 +109,21 @@ def main():
         )
         # albedo-tap edge quads (texture/mip/wrap straddles): run the
         # tap-block resolve at capacity 1 — its overflow counter + 1 IS
-        # the edge count
+        # the edge count. Caveats handled: (a) the lazy alpha-fallback
+        # overflow shares the counter on alpha-masked configs, so measure
+        # it separately (same config, no tap_block) and subtract; (b) the
+        # counter saturates at 0, so a scene with ZERO edge quads still
+        # reports 1 — harmless for capacity sizing (min capacity is 1024).
         import dataclasses as _dc
 
         cfg_tap = _dc.replace(cfg, tap_block=True, tap_edge_capacity=1)
         _gb2, aux2 = resolve_pass.resolve_gbuffer(scene_, vis, uni, cfg_tap)
+        tap_ovf = aux2.overflow
+        if _aux is not None and _aux.overflow is not None:
+            tap_ovf = tap_ovf - _aux.overflow  # alpha-fallback share
         return (jnp.sum(nonuni.astype(jnp.int32)),
                 jnp.sum(spread.astype(jnp.int32)),
-                aux2.overflow + 1, vis.overflow)
+                jnp.maximum(tap_ovf, 0) + 1, vis.overflow)
 
     counts, tcounts, tapcounts = [], [], []
     for f in range(args.frames):

@@ -145,11 +145,19 @@ def render_frame(
                 depth2=None if vis.depth2 is None
                 else shard_mod.shard_rows(mesh, vis.depth2),
             )
-    if mesh is not None and getattr(config, "quad_rate_resolve", False):
-        # The quad path's compaction (global nonzero) + row scatters do not
-        # partition row-locally under SPMD — keep the sharded frame on the
-        # per-pixel resolve (same images: the paths are bit-identical).
-        config = dataclasses.replace(config, quad_rate_resolve=False)
+    if mesh is not None and (
+        getattr(config, "quad_rate_resolve", False)
+        or getattr(config, "tap_block", False)
+        or getattr(config, "slot_resolve", False)
+    ):
+        # The coherence paths' compaction (global argsort) + row scatters do
+        # not partition row-locally under SPMD — keep the sharded frame on
+        # the per-pixel resolve/tap (same images: the paths are
+        # bit-identical). Applies equally to tap_block's edge-quad batch.
+        config = dataclasses.replace(
+            config, quad_rate_resolve=False, tap_block=False,
+            slot_resolve=False,
+        )
     gbuffer, aux_r = resolve_pass.resolve_gbuffer(scene, vis, camera, config)
     if mesh is not None:
         gbuffer = gbuffer.replace(

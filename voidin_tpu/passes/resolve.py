@@ -489,6 +489,9 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
         # path): pass 1 finds cut winners, pass 2 re-resolves every pixel
         # with the runner-up substituted.
         f1 = dense_fields(vis.tri_id, vis.depth, want_aux=False)
+        # Only the FINAL pass's edge-quad/tap overflow counts — pass 1
+        # visits the same quads, and summing both would double-report.
+        quad_ovf = jnp.zeros((), jnp.int32)
         fall = (vis.tri_id >= 0) & f1["cut"]
         tid = jnp.where(fall, vis.tri_id2, vis.tri_id)
         dep = jnp.where(fall, vis.depth2, vis.depth)
