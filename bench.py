@@ -89,6 +89,14 @@ AB_VARIANTS = {
     # INCREMENTALLY — the expected winners go right after base so a sweep
     # cut short by the watcher timeout still yields them.
     "base": (dict(), False, 1, "off"),
+    # tile-rate (slot) resolve + quad-block TAA history + quad-rate albedo
+    # tap are bit-exact with the default path (tests/test_resolve_slot.py,
+    # test_taa_quad.py, test_texture_meta.py); slot subsumes quad-rate
+    # resolve at ~3x fewer gather rows (SOL_AUDIT.json)
+    "all_s": (
+        dict(slot_resolve=True, inst_rec_f16=True,
+             taa_quad_history=True, tap_block=True), True, 2, "on"
+    ),
     # quad-rate resolve + quad-block TAA history + quad-rate albedo tap
     # are bit-exact with the default path (tests/test_resolve_quad.py,
     # test_taa_quad.py, test_texture_meta.py) and exclude fused_resolve_rec
@@ -96,6 +104,7 @@ AB_VARIANTS = {
         dict(quad_rate_resolve=True, inst_rec_f16=True,
              taa_quad_history=True, tap_block=True), True, 2, "on"
     ),
+    "slot": (dict(slot_resolve=True), False, 1, "off"),
     "taa_quad": (dict(taa_quad_history=True), False, 1, "off"),
     "tap_block": (dict(tap_block=True), False, 1, "off"),
     "all_lut": (
@@ -103,9 +112,12 @@ AB_VARIANTS = {
     ),
     "quad": (dict(quad_rate_resolve=True), False, 1, "off"),
     # all_exact: every BIT-EXACT XLA-only coherence option and nothing
-    # else — no Pallas kernel, no f16/bf16/half-res image deviations. The
-    # UNSWEPT fallback in tuned_options: official numbers taken before any
-    # TPU sweep measure the base-fidelity image path (ADVICE r3).
+    # else — no Pallas kernel, no f16/bf16/half-res image deviations, and
+    # no slot_resolve (its one-hot MXU select is exact but only VERIFIED
+    # on hardware by check_kernel_hw at sweep time; the quad path is pure
+    # gathers). The UNSWEPT fallback in tuned_options: official numbers
+    # taken before any TPU sweep measure the base-fidelity image path
+    # (ADVICE r3).
     "all_exact": (
         dict(quad_rate_resolve=True, taa_quad_history=True, tap_block=True),
         False, 1, "off"
@@ -497,10 +509,11 @@ def main():
         tuned_options(with_meta=True)
     if args.smoke:
         # exercise every option path regardless of what the sweep found
-        # (all_q is the strict superset: quad-rate resolve + f16 instance
-        # records + bf16 LUT weights + half-res area lights + LUT kernel)
-        ab_name = "all_q"
-        ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS["all_q"]
+        # (all_s is the strict superset: slot resolve + quad TAA/tap +
+        # f16 instance records + bf16 LUT weights + half-res area lights
+        # + LUT kernel)
+        ab_name = "all_s"
+        ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS["all_s"]
     if ab_name != "base":
         print(f"# applying A/B sweep winner: {ab_name}", file=sys.stderr)
     apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)

@@ -117,6 +117,33 @@ def main():
                 print(f"lut C={n_chan} f32 chan{k}: exact-equal {eq:.4f}")
                 bad += eq < 1.0
 
+    # Slot-resolve one-hot select (resolve._slot_fetch_channels): the MXU
+    # f32 matmul at Precision.HIGHEST must select values EXACTLY (products
+    # by 0/1 + zero accumulation). Verify against the gather it replaces.
+    onehot_vals = jnp.asarray(
+        rng.standard_normal((1024, 16, 60)) * 10.0 ** rng.integers(
+            -6, 6, (1024, 16, 60)
+        ),
+        jnp.float32,
+    )
+    sel = jnp.asarray(rng.integers(0, 16, (1024, 128)), jnp.int32)
+    oh = (sel[..., None] == jnp.arange(16)).astype(jnp.float32)
+
+    @jax.jit
+    def select_mxu(oh_, vals_):
+        return jnp.einsum(
+            "bpk,bkc->bpc", oh_, vals_,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    got = np.asarray(select_mxu(oh, onehot_vals))
+    want = np.asarray(
+        jnp.take_along_axis(onehot_vals, sel[..., None], axis=1)
+    )
+    eq = (got == want).mean()
+    print(f"slot-resolve one-hot MXU select: exact-equal {eq:.4f}")
+    bad += eq < 1.0
+
     if bad:
         print("DIVERGENCE between compiled and interpret kernels")
         return 1

@@ -281,19 +281,37 @@ class Renderer:
             cfg = self.config
 
             def frame(scene_, camera_, globals__, state_, moving_, jm_):
-                return rf(
-                    scene_, camera_, globals__, state_, moving_,
-                    config=cfg,
-                    enable_cull=enable_cull,
-                    enable_taa=enable_taa,
-                    enable_post=enable_post,
-                    enable_rt_shadows=enable_rt_shadows,
-                    rt_shadow_scale=rt_shadow_scale,
-                    area_light_scale=area_light_scale,
-                    mesh=mesh,
-                    joint_mats=jm_,
+                from ..core import checks
+
+                # thread-local, set for the duration of THIS trace only
+                checks.set_bounds_enabled(cfg.debug_bounds)
+                try:
+                    return rf(
+                        scene_, camera_, globals__, state_, moving_,
+                        config=cfg,
+                        enable_cull=enable_cull,
+                        enable_taa=enable_taa,
+                        enable_post=enable_post,
+                        enable_rt_shadows=enable_rt_shadows,
+                        rt_shadow_scale=rt_shadow_scale,
+                        area_light_scale=area_light_scale,
+                        mesh=mesh,
+                        joint_mats=jm_,
+                    )
+                finally:
+                    checks.set_bounds_enabled(False)
+
+            if cfg.debug_bounds:
+                from jax.experimental import checkify
+
+                checked = checkify.checkify(
+                    frame, errors=checkify.user_checks
                 )
 
+                def frame_checked(*a):
+                    return checked(*a)  # (error, outputs)
+
+                return frame_checked
             return frame
 
         # scene and frame state are consumed and re-emitted every frame
@@ -332,9 +350,17 @@ class Renderer:
             jm = jnp.asarray(joint_mats, jnp.float32)
         else:
             jm = jnp.zeros((0, 4, 4), jnp.float32)
-        img, self.state, self.scene, self.aux = self._fn(
-            self.scene, uniform, globals_, self.state, self.moving_ids, jm
-        )
+        if self.config.debug_bounds:
+            err, (img, self.state, self.scene, self.aux) = self._fn(
+                self.scene, uniform, globals_, self.state,
+                self.moving_ids, jm,
+            )
+            err.throw()  # raises with the failing check_index's name
+        else:
+            img, self.state, self.scene, self.aux = self._fn(
+                self.scene, uniform, globals_, self.state,
+                self.moving_ids, jm,
+            )
         self.frame_count += 1
         self.time += dt
         return img

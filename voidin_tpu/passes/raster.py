@@ -123,6 +123,24 @@ class RasterConfig:
     # (tap_edge_capacity, 0 = n_quads // 4). A/B on TPU before enabling.
     tap_block: bool = False
     tap_edge_capacity: int = 0
+    # Tile-rate resolve (resolve._slot_fetch_channels): the three resolve
+    # row gathers are issued once per (8x16 tile, distinct triangle) —
+    # slot_k slots per tile, distinct ids via dense iterated max — and
+    # broadcast to pixels with an EXACT one-hot MXU matmul. Subsumes
+    # quad_rate_resolve (coarser reuse, ~3x fewer rows); bit-exact
+    # (tests/test_resolve_slot.py). Pixels beyond slot_k distinct ids per
+    # tile go through a compacted per-pixel batch (slot_edge_capacity,
+    # 0 = n_pixels // 64). A/B on TPU before enabling.
+    slot_resolve: bool = False
+    slot_k: int = 16
+    slot_edge_capacity: int = 0
+    # OOB validation mode (SURVEY §5.2): trace the frame under
+    # jax.experimental.checkify and assert every data-dependent gather
+    # index (resolve records, texel rows, BVH nodes/instances) is in
+    # range — core/checks.py. Debug tool: the checked frame pays the
+    # checkify overhead; production leaves it off and relies on the
+    # capacity/overflow counters.
+    debug_bounds: bool = False
 
     tile_h: int = fr.TILE_H
     tile_w: int = fr.TILE_W
@@ -174,12 +192,16 @@ def saturating_cumsum(counts: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.associative_scan(lambda a, b: jnp.minimum(a + b, _SAT), c)
 
 
-def segment_ids_from_counts(counts: jnp.ndarray, cap: int):
+def segment_ids_from_counts(counts: jnp.ndarray, cap: int,
+                            need_local: bool = True):
     """Variable-rate expansion without searchsorted.
 
     Given per-segment element counts, returns for each stream position
     e in [0, cap): (segment id, position-within-segment, valid).
     Cost: one |counts|-sized scatter + two cap-sized cumulative ops.
+    `need_local=False` skips the position-within-segment computation (its
+    cap-sized start-position gather) — callers that carry the segment
+    start inside a record they fetch anyway recompute local from it.
     """
     cum = saturating_cumsum(counts)
     total = jnp.minimum(cum[-1], cap)
@@ -191,6 +213,8 @@ def segment_ids_from_counts(counts: jnp.ndarray, cap: int):
     marks = marks.at[jnp.minimum(starts, cap)].max(seg_of_start, mode="drop")
     seg = jax.lax.cummax(marks)
     e = jnp.arange(cap, dtype=jnp.int32)
+    if not need_local:
+        return seg, None, e < total
     if counts.shape[0] <= (1 << 16):
         # Small segment table: gather the start positions instead of a
         # second cap-sized cummax (small-table gathers ~2.5 ns/row vs
@@ -262,11 +286,15 @@ def triangle_setup(
         0,
     )  # (N,)
 
-    draw_slot, local_tri, valid = segment_ids_from_counts(n_tris, cap)
+    draw_slot, _, valid = segment_ids_from_counts(
+        n_tris, cap, need_local=False
+    )
 
     # One fat per-draw record (mvp + offsets + instance id) -> a single
     # 96 B gather per work item serves ALL draw-level data (gathers are
-    # row-rate bound; width is nearly free).
+    # row-rate bound; width is nearly free). The draw's stream START rides
+    # the record too, so position-within-draw needs no second gather
+    # (segment_ids_from_counts need_local=False).
     view_proj = jnp.asarray(camera.projection) @ jnp.asarray(camera.view)
     mvp = fastmath.compose_mat4(view_proj, instances.transform)  # (N_inst,4,4)
     n_draws = inst_ids.shape[0]
@@ -274,6 +302,12 @@ def triangle_setup(
         bc_w = materials.base_color[instances.material_id[safe_inst], 3]
     else:
         bc_w = jnp.ones((n_draws,), jnp.float32)
+    cum_draws = saturating_cumsum(n_tris)
+    # f32-exact for every VALID work item (start < cap << 2^24); invalid
+    # tail slots are masked downstream.
+    draw_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.float32), cum_draws[:-1].astype(jnp.float32)]
+    )
     draw_rec = jnp.concatenate(
         [
             mvp.reshape(-1, 16)[safe_inst],
@@ -281,13 +315,17 @@ def triangle_setup(
             meshes.base_index[mesh_ids].astype(jnp.float32)[:, None],
             safe_inst.astype(jnp.float32)[:, None],
             bc_w[:, None],
-            jnp.zeros((n_draws, 4), jnp.float32),
+            draw_start[:, None],
+            jnp.zeros((n_draws, 3), jnp.float32),
         ],
         axis=-1,
     )  # (N, 24) f32
     rec = draw_rec[draw_slot]  # (cap, 24)
     inst = jnp.where(valid, rec[:, 18].astype(jnp.int32), 0)
     bc_cut = rec[:, 19] < 0.5  # base_color.w cutoff: drop the triangle
+    local_tri = jnp.arange(cap, dtype=jnp.int32) - rec[:, 20].astype(
+        jnp.int32
+    )
     tri_pool = rec[:, 16].astype(jnp.int32) + local_tri
     idx_start = rec[:, 17].astype(jnp.int32) + 3 * local_tri
 
@@ -341,7 +379,7 @@ def triangle_setup(
     needs2 = valid & (n_in == 2) & ~bc_cut
     alive2 = needs2 & _front_face(sx2, sy2)
 
-    cum = saturating_cumsum(n_tris)
+    cum = cum_draws  # saturating_cumsum(n_tris), computed for draw_start
     tri_total = jnp.minimum(cum[-1], cap)
 
     # Clipped second-triangles go to a SMALL separate region selected by
@@ -351,7 +389,9 @@ def triangle_setup(
     ecap = cap // 8
     n_extras = jnp.sum(needs2.astype(jnp.int32))
     overflow = jnp.maximum(cum[-1] - cap, 0) + jnp.maximum(n_extras - ecap, 0)
-    extra_src = jnp.argsort(~needs2, stable=True)[:ecap]  # parent indices
+    # parent indices: one-operand fused-key compaction (same ascending
+    # True-first order as stable argsort at half the sort cost)
+    extra_src = fastmath.compact_indices(needs2, ecap)
     valid_extra = jnp.arange(ecap) < jnp.minimum(n_extras, ecap)
 
     def pack_raster(sxv, syv, zv, alivev, ids):
@@ -411,12 +451,16 @@ def triangle_setup(
     e = jnp.arange(cap, dtype=jnp.int32)
     rec1 = pack_raster(sx1, sy1, z1, alive1, e)
     extra_ids = cap + jnp.arange(ecap, dtype=jnp.int32)
+    # ONE packed 40 B gather per extra instead of four separate fetches
+    # (sx2/sy2/z2/alive2) — gathers are row-rate bound, width nearly free.
+    extra_geom = jnp.concatenate(
+        [sx2, sy2, z2, alive2[:, None].astype(jnp.float32)], axis=-1
+    )[extra_src]  # (ecap, 10)
+    sx2e, sy2e, z2e = extra_geom[:, 0:3], extra_geom[:, 3:6], \
+        extra_geom[:, 6:9]
+    alive2e = extra_geom[:, 9] > 0.5
     rec2 = pack_raster(
-        sx2[extra_src],
-        sy2[extra_src],
-        z2[extra_src],
-        alive2[extra_src] & valid_extra,
-        extra_ids,
+        sx2e, sy2e, z2e, alive2e & valid_extra, extra_ids,
     )
     raster_rec = jnp.concatenate([rec1, rec2])  # (cap + ecap, 16)
 
@@ -443,9 +487,9 @@ def triangle_setup(
     work_total = jnp.minimum(tri_total, cap) + jnp.minimum(n_extras, ecap)
     # Screen-space vertices per work item (binning bboxes + test oracles);
     # the raster record itself carries only affine coefficients.
-    sx = jnp.concatenate([sx1, sx2[extra_src]])
-    sy = jnp.concatenate([sy1, sy2[extra_src]])
-    sz = jnp.concatenate([z1, z2[extra_src]])
+    sx = jnp.concatenate([sx1, sx2e])
+    sy = jnp.concatenate([sy1, sy2e])
+    sz = jnp.concatenate([z1, z2e])
 
     return dict(
         sx=sx,

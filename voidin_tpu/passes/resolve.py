@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core import encoding, fastmath
+from ..core import checks, encoding, fastmath
 from ..scene.scene import SceneData
 from ..scene.texture import sample_trilinear
 from .gbuffer import GBuffer, VisBuffer
@@ -128,13 +128,23 @@ def _fetch_rows(scene: SceneData, vis: VisBuffer, tri_id,
       irec (*S, 24) f32 | (*S, 12) u32  fused instance+material record
     Raw (undecoded) forms so the quad path can scatter narrow rows."""
     tid = jnp.maximum(tri_id, 0)
-    rec = vis.resolve_rec[tid]
+    rec = vis.resolve_rec[
+        checks.check_index(tid, vis.resolve_rec.shape[0], "resolve.rec")
+    ]
     if rec.shape[-1] >= 24:
         pk = jax.lax.bitcast_convert_type(rec[..., 12:24], jnp.uint32)
     else:
         tri_pool = (rec[..., 10] / 3.0).astype(jnp.int32)  # idx_start / 3
-        pk = scene.meshes.tri_attr_packed[tri_pool]  # (*S, 12) u32
+        pk = scene.meshes.tri_attr_packed[
+            checks.check_index(
+                tri_pool, scene.meshes.tri_attr_packed.shape[0],
+                "resolve.tri_attr",
+            )
+        ]  # (*S, 12) u32
     inst = rec[..., 9].astype(jnp.int32)
+    inst = checks.check_index(
+        inst, scene.instances.count, "resolve.instance"
+    )
     if inst_f16:
         irec = _inst_rec_f16(scene)[inst]  # (*S, 12) u32
     else:
@@ -195,9 +205,156 @@ def _quad_fetch(scene: SceneData, vis: VisBuffer, tri_id,
     return dense, jnp.maximum(count - F, 0)
 
 
+def _decode_channels(rows, inst_f16: bool = False, tangents: bool = True):
+    """Raw row tables -> pure-f32 per-element channels, shape-agnostic.
+
+    Elementwise, so it commutes with any EXACT selection: the slot-rate
+    path (_slot_fetch_channels) decodes at (tile, slot) rate and one-hot
+    selects the f32 channels per pixel — bit-identical to decoding
+    per-pixel fetched rows. Channels (trailing dims flat):
+      cl     (*S, 9)   clip x/y/w per vertex
+      uv_c   (*S, 6)   corner uvs
+      n_c    (*S, 9)   decoded corner normals
+      t_c    (*S, 9)   decoded corner tangents
+      t_sign (*S, 3)   tangent.w signs
+      irec   (*S, 24)  fused instance+material record
+    """
+    rec = rows["rec"]
+    S = rec.shape[:-1]
+    pk = rows["pk"]  # (*S, 12) u32
+    uv_c = jax.lax.bitcast_convert_type(pk[..., 0:6], jnp.float32)
+    n_c = encoding.decode_octahedral_32(pk[..., 6:9])  # (*S, 3, 3)
+    if inst_f16:
+        irec = jax.lax.bitcast_convert_type(
+            rows["irec"], jnp.float16
+        ).reshape(S + (24,)).astype(jnp.float32)
+    else:
+        irec = rows["irec"]  # (*S, 24)
+    out = dict(
+        cl=rec[..., :9],
+        uv_c=uv_c,
+        n_c=n_c.reshape(S + (9,)),
+        irec=irec,
+    )
+    if tangents:
+        # Skipped when the scene has no normal maps (tangents feed only
+        # the TBN transform): 12 of 60 channels off the slot select.
+        t_enc = pk[..., 9:12]
+        out["t_sign"] = 1.0 - 2.0 * (
+            t_enc & jnp.uint32(1)
+        ).astype(jnp.float32)
+        out["t_c"] = encoding.decode_octahedral_32(t_enc).reshape(S + (9,))
+    return out
+
+
+def _slot_fetch_channels(scene: SceneData, vis: VisBuffer, tri_id,
+                         inst_f16: bool = False, k_slots: int = 16,
+                         capacity: int = 0):
+    """Tile-rate fetch (RasterConfig.slot_resolve): an 8x16 fine-raster
+    tile shows only a handful of DISTINCT winning triangles, so the three
+    resolve row gathers are issued once per (tile, slot) — k_slots slots
+    per tile — instead of once per pixel or 2x2 quad. Per-pixel channel
+    values are then produced by an EXACT one-hot matmul on the MXU
+    (weights are exactly 0/1, so products/sums select a single f32 value
+    bit-exactly; jax.lax.Precision.HIGHEST keeps the f32 passes exact on
+    the MXU — hardware-guarded in tools/check_kernel_hw.py).
+
+    Distinct ids are extracted with k_slots dense iterated-max passes
+    (zero gathers). TILES holding more than k_slots distinct ids go
+    through a compacted per-TILE fallback: every pixel of an overflowing
+    tile is re-resolved per-pixel and scattered back (compacting 16k tile
+    flags costs ~1/128 of compacting 2M pixel flags; re-writing the
+    tile's matched pixels with identical values keeps bit-exactness).
+    `capacity` counts TILES (0 = n_tiles // 32).
+
+    Gather rows: 3 * NT * k_slots (~0.8M at 1080p/K=16, vs ~2.6M for the
+    quad path at typical edge densities) + 3 * 128 * capacity fallback.
+
+    Returns (channels dict of dense (H, W, C) f32, overflow tile count)."""
+    H, W = tri_id.shape
+    from ..ops import fine_raster as fr
+
+    TH, TW = fr.TILE_H, fr.TILE_W
+    Ty, Tx = H // TH, W // TW
+    NT = Ty * Tx
+    PX = TH * TW
+    t = (
+        tri_id.reshape(Ty, TH, Tx, TW)
+        .transpose(0, 2, 1, 3)
+        .reshape(Ty, Tx, PX)
+    )
+
+    # k_slots iterated-max passes -> (Ty, Tx, K) distinct ids, descending.
+    # -2 marks consumed lanes (ids are >= -1); exhausted slots stay -2.
+    uniq = []
+    cur = t
+    for _ in range(k_slots):
+        m = jnp.max(cur, axis=-1)  # (Ty, Tx)
+        uniq.append(m)
+        cur = jnp.where(cur == m[..., None], -2, cur)
+    uniq = jnp.stack(uniq, axis=-1)  # (Ty, Tx, K)
+    # a tile overflowed iff ids remain unconsumed after k_slots passes
+    tile_ovf = jnp.max(cur, axis=-1) > -2  # (Ty, Tx)
+
+    tangents = not getattr(scene, "no_normal_maps", False)
+    rows = _fetch_rows(scene, vis, jnp.maximum(uniq, -1), inst_f16)
+    ch = _decode_channels(rows, inst_f16, tangents=tangents)
+    keys = list(ch.keys())
+    table = jnp.concatenate([ch[k] for k in keys], axis=-1)
+    # (Ty, Tx, K, Ctot)
+
+    onehot = (t[..., None] == uniq[..., None, :]).astype(jnp.float32)
+    # (Ty, Tx, PX, K); unmatched pixels live only in overflowing tiles
+    dense = jnp.einsum(
+        "abpk,abkc->abpc", onehot, table,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (Ty, Tx, PX, Ctot)
+    Ctot = table.shape[-1]
+    dense = (
+        dense.reshape(Ty, Tx, TH, TW, Ctot)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(H, W, Ctot)
+    )
+
+    # Per-tile fallback: all 128 pixels of each overflowing tile.
+    F = capacity or max(NT // 32, 64)
+    flat = tile_ovf.reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    tidx = fastmath.compact_indices(flat, F)  # (F,) tile indices
+    valid = jnp.arange(F) < jnp.minimum(count, F)
+    tid_e = t.reshape(NT, PX)[tidx]  # (F, PX) one row gather per tile
+    tid_e = jnp.where(valid[:, None], tid_e, -1)
+    rows_e = _fetch_rows(scene, vis, tid_e, inst_f16)
+    ch_e = _decode_channels(rows_e, inst_f16, tangents=tangents)
+    rows_flat = jnp.concatenate(
+        [ch_e[k] for k in keys], axis=-1
+    ).reshape(F * PX, Ctot)
+    ty = tidx // Tx
+    tx = tidx - ty * Tx
+    lane = jnp.arange(PX, dtype=jnp.int32)
+    pix = (
+        (ty[:, None] * TH + lane[None, :] // TW) * W
+        + tx[:, None] * TW + lane[None, :] % TW
+    )  # (F, PX) image-flat pixel indices
+    widx = jnp.where(valid[:, None], pix, H * W).reshape(F * PX)
+    dense = (
+        dense.reshape(H * W, Ctot)
+        .at[widx].set(rows_flat, mode="drop")
+        .reshape(H, W, Ctot)
+    )
+
+    out, off = {}, 0
+    for k in keys:
+        c = ch[k].shape[-1]
+        out[k] = dense[..., off : off + c]
+        off += c
+    return out, jnp.maximum(count - F, 0)
+
+
 def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
                   x_ndc, y_ndc, want_aux: bool = True, lod_probe=None,
-                  inst_f16: bool = False, rows=None, tap_block_cap=None):
+                  inst_f16: bool = False, rows=None, tap_block_cap=None,
+                  channels=None):
     """Core per-pixel resolve for an arbitrary pixel-set shape S.
 
     tri_id/depth: shape S (raw ids, -1 = background). x_ndc/y_ndc: NDC
@@ -205,18 +362,18 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
     image-space finite differences (requires S = (H, W)); (dx, dy) NDC
     steps -> analytic within-triangle barycentric probes (any S).
     `rows`: pre-fetched row tables (quad-rate path) — default fetches
-    per-pixel. Returns a dict of unmasked per-pixel fields + keep/cut
-    masks.
+    per-pixel. `channels`: pre-decoded f32 channels (slot-rate path) —
+    skips fetch + decode entirely. Returns a dict of unmasked per-pixel
+    fields + keep/cut masks.
     """
     S = tri_id.shape
     hit = tri_id >= 0
-    if rows is None:
-        rows = _fetch_rows(scene, vis, tri_id, inst_f16)
+    if channels is None:
+        if rows is None:
+            rows = _fetch_rows(scene, vis, tri_id, inst_f16)
+        channels = _decode_channels(rows, inst_f16)
 
-    # Gather 1: packed resolve record [x,y,w per vertex | inst | idx_start].
-    rec = rows["rec"]  # (*S, 12)
-    cl = rec[..., :9].reshape(S + (3, 3))
-    inst = rec[..., 9].astype(jnp.int32)
+    cl = channels["cl"].reshape(S + (3, 3))
 
     # Perspective-correct barycentrics via 2D homogeneous coordinates:
     # b ∝ cross(u, v) with u_i = c_i.x - x*c_i.w, v_i = c_i.y - y*c_i.w.
@@ -230,30 +387,18 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
 
     lam_p = bary(x_ndc, y_ndc)  # (*S, 3)
 
-    # Gather 2: ONE packed corner-attribute row (48 B): exact f32 uv per
-    # corner + octahedral corner normals/tangents (see MeshPoolData). With
-    # RasterConfig.fused_resolve_rec the row already rides the resolve
-    # record (gather 1) — no second big-table fetch.
-    pk = rows["pk"]  # (*S, 12) u32
-    uv_c = jax.lax.bitcast_convert_type(
-        pk[..., 0:6], jnp.float32
-    ).reshape(S + (3, 2))
-    n_c = encoding.decode_octahedral_32(pk[..., 6:9])  # (*S, 3, 3)
-    t_enc = pk[..., 9:12]
-    t_sign = 1.0 - 2.0 * (t_enc & jnp.uint32(1)).astype(jnp.float32)
-    t_c = encoding.decode_octahedral_32(t_enc)  # (*S, 3, 3)
+    uv_c = channels["uv_c"].reshape(S + (3, 2))
+    n_c = channels["n_c"].reshape(S + (3, 3))
     normal_raw = jnp.sum(n_c * lam_p[..., None], axis=-2)
-    tangent_raw = jnp.sum(t_c * lam_p[..., None], axis=-2)
-    tangent_w = jnp.sum(t_sign * lam_p, axis=-1)
+    if "t_c" in channels:  # absent iff scene.no_normal_maps (slot path)
+        t_c = channels["t_c"].reshape(S + (3, 3))
+        tangent_raw = jnp.sum(t_c * lam_p[..., None], axis=-2)
+        tangent_w = jnp.sum(channels["t_sign"] * lam_p, axis=-1)
+    else:
+        tangent_raw = tangent_w = None
     uv = jnp.sum(uv_c * lam_p[..., None], axis=-2)
 
-    # Gather 3: fused instance+material record (see _inst_rec).
-    if inst_f16:
-        irec = jax.lax.bitcast_convert_type(
-            rows["irec"], jnp.float16
-        ).reshape(S + (24,)).astype(jnp.float32)
-    else:
-        irec = rows["irec"]  # (*S, 24)
+    irec = channels["irec"]  # (*S, 24)
     basis = irec[..., :9].reshape(S + (3, 3))
     material_id = irec[..., 9].astype(jnp.int32)
     mat_albedo = irec[..., 10].astype(jnp.int32)
@@ -262,8 +407,13 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
 
     # Object -> world with the plain upper 3x3 (reference parity).
     n_ws = fastmath.mat3_vec(basis, normal_raw)
-    t_ws = fastmath.mat3_vec(basis, tangent_raw)
-    b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
+    if tangent_raw is not None:
+        t_ws = fastmath.mat3_vec(basis, tangent_raw)
+        b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
+    elif not getattr(scene, "no_normal_maps", False):
+        raise ValueError(
+            "tangent channels were pruned but the scene has normal maps"
+        )
 
     # Mip LOD (texture extent rides the fused instance record).
     tex_w = irec[..., 15]
@@ -451,14 +601,21 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
     f16 = getattr(config, "inst_rec_f16", False)
     quad = getattr(config, "quad_rate_resolve", False) and H % 2 == 0 \
         and W % 2 == 0
-    if quad and getattr(config, "fused_resolve_rec", False):
+    slot = getattr(config, "slot_resolve", False) and H % 8 == 0 \
+        and W % 16 == 0
+    if slot:
+        quad = False  # slot-rate subsumes quad-rate (coarser reuse)
+    if (quad or slot) and getattr(config, "fused_resolve_rec", False):
         raise ValueError(
-            "quad_rate_resolve and fused_resolve_rec are mutually "
-            "exclusive: the quad path re-splits the fused record's gathers"
+            "quad/slot_rate_resolve and fused_resolve_rec are mutually "
+            "exclusive: the coherence paths re-split the fused record's "
+            "gathers"
         )
     quad_cap = getattr(config, "quad_edge_capacity", 0)
+    slot_cap = getattr(config, "slot_edge_capacity", 0)
+    slot_k = getattr(config, "slot_k", 16)
     quad_ovf = jnp.zeros((), jnp.int32)
-    track_ovf = quad or getattr(config, "tap_block", False)
+    track_ovf = quad or slot or getattr(config, "tap_block", False)
 
     tap_cap = None
     if getattr(config, "tap_block", False):
@@ -466,16 +623,23 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
             or max((H // 2) * (W // 2) // 4, 1024)
 
     def dense_fields(tri_id, depth, want_aux=True):
-        """Dense (H, W) resolve; quad-rate gathers when enabled."""
+        """Dense (H, W) resolve; slot-/quad-rate gathers when enabled."""
         nonlocal quad_ovf
         rows = None
-        if quad:
+        channels = None
+        if slot:
+            channels, ovf = _slot_fetch_channels(
+                scene, vis, tri_id, inst_f16=f16, k_slots=slot_k,
+                capacity=slot_cap,
+            )
+            quad_ovf = quad_ovf + ovf
+        elif quad:
             rows, ovf = _quad_fetch(scene, vis, tri_id, inst_f16=f16,
                                     capacity=quad_cap)
             quad_ovf = quad_ovf + ovf
         f = _pixel_fields(scene, vis, tri_id, depth, x_ndc, y_ndc,
                           want_aux=want_aux, inst_f16=f16, rows=rows,
-                          tap_block_cap=tap_cap)
+                          tap_block_cap=tap_cap, channels=channels)
         if "tap_overflow" in f:
             quad_ovf = quad_ovf + f.pop("tap_overflow")
         return f

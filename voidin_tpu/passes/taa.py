@@ -131,19 +131,21 @@ def _bilinear_clamp_quadblock(img, u, v, capacity=0):
     Hq, Wq = H // 2, W // 2
     imgh = img.astype(jnp.float16)
 
-    def shifted(dy, dx):
-        t = imgh
-        for _ in range(dy):
-            t = jnp.concatenate([t[1:], t[-1:]], axis=0)
-        for _ in range(dx):
-            t = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
-        return t
-
     # (H*W, 16*C) f16 4x4 blocks, clamp-replicated like the 2x2 table.
+    # Built as 16 STATIC slices of one edge-padded array — the previous
+    # chained-concat shifts materialized O(16^2/2) intermediate copies
+    # (~600 MB of HBM traffic at 1080p); one pad + slices is a single
+    # write of the table. Values identical (same clamp-to-edge texels).
     # Materialize via optimization_barrier (same lesson as _bilinear_clamp:
     # XLA otherwise recomputes the shifts inside the gather).
+    padded = jnp.concatenate([imgh, imgh[-1:], imgh[-1:], imgh[-1:]], axis=0)
+    padded = jnp.concatenate(
+        [padded, padded[:, -1:], padded[:, -1:], padded[:, -1:]], axis=1
+    )
     blocks = jnp.concatenate(
-        [shifted(dy, dx) for dy in range(4) for dx in range(4)], axis=-1
+        [padded[dy : dy + H, dx : dx + W] for dy in range(4)
+         for dx in range(4)],
+        axis=-1,
     ).reshape(H * W, 16 * C)
     blocks = jax.lax.optimization_barrier(blocks)
 
@@ -166,32 +168,37 @@ def _bilinear_clamp_quadblock(img, u, v, capacity=0):
         jnp.max(y4, axis=(2, 3)) - by <= 2
     )
 
-    blk = blocks[by * W + bx].astype(jnp.float32)  # (Hq, Wq, 16C)
-    blk = blk.reshape(Hq, Wq, 4, 4, C)
+    blk = blocks[by * W + bx].reshape(Hq, Wq, 4, 4, C)  # f16 (Hq,Wq,4,4,C)
 
-    # per-pixel in-block offsets (0..2 when ok); gather-free 9-way select
+    # per-pixel in-block offsets (0..2 when ok); gather-free select. ONE
+    # einsum over the full 4x4 block with per-corner shifted one-hots
+    # (d, e index the bilinear corner) instead of four einsums over f32
+    # 3x3 sub-slices: the f16 table is read once and never upcast as a
+    # whole (f32 blk alone was ~400 MB at 1080p). Exact: one-hot weights
+    # are 0/1, products/accumulation select a single f16 value into f32 —
+    # bit-identical to upcasting first (test_taa_quad.py holds the path
+    # to _bilinear_clamp bit-equality).
     ox = jnp.clip(x4 - bx[..., None, None], 0, 2)  # (Hq, Wq, 2, 2)
     oy = jnp.clip(y4 - by[..., None, None], 0, 2)
-    oh_y = (oy[..., None] == jnp.arange(3)).astype(jnp.float32)
-    oh_x = (ox[..., None] == jnp.arange(3)).astype(jnp.float32)
-
-    def corner(dy, dx):
-        # Sum_j Sum_i blk[j+dy, i+dx] * onehot_y[j] * onehot_x[i]
-        sub = blk[:, :, dy : dy + 3, dx : dx + 3, :]  # (Hq, Wq, 3, 3, C)
-        v_ = jnp.einsum(
-            "hwjic,hwpqj,hwpqi->hwpqc", sub, oh_y, oh_x
-        )  # (Hq, Wq, 2, 2, C)
-        return v_
-
-    c00 = corner(0, 0)
-    c10 = corner(0, 1)
-    c01 = corner(1, 0)
-    c11 = corner(1, 1)
+    j4 = jnp.arange(4)
+    oh_y = (oy[..., None, None] + jnp.arange(2)[:, None] == j4).astype(
+        jnp.float16
+    )  # (Hq, Wq, 2, 2, d, j)
+    oh_x = (ox[..., None, None] + jnp.arange(2)[:, None] == j4).astype(
+        jnp.float16
+    )  # (Hq, Wq, 2, 2, e, i)
+    corners = jnp.einsum(
+        "hwjic,hwpqdj,hwpqei->hwpqdec", blk, oh_y, oh_x,
+        preferred_element_type=jnp.float32,
+    )  # (Hq, Wq, 2, 2, 2, 2, C) f32
 
     def unq(a):  # (Hq, Wq, 2, 2, C) -> (H, W, C)
         return a.transpose(0, 2, 1, 3, 4).reshape(H, W, C)
 
-    c00, c10, c01, c11 = unq(c00), unq(c10), unq(c01), unq(c11)
+    c00 = unq(corners[..., 0, 0, :])
+    c10 = unq(corners[..., 0, 1, :])
+    c01 = unq(corners[..., 1, 0, :])
+    c11 = unq(corners[..., 1, 1, :])
     top = c00 + (c10 - c00) * tx
     bot = c01 + (c11 - c01) * tx
     out = top + (bot - top) * ty

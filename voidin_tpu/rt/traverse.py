@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import checks
+
 from ..core import fastmath
 
 MAX_DIST = 1e30
@@ -225,7 +227,7 @@ def occluded(
         b_node = jnp.where(active & is_blas, -entry - 1, 0)
 
         # --- TLAS step (original ray) --------------------------------
-        trow = tlas_rows[t_node]  # (R, 8)
+        trow = tlas_rows[checks.check_index(t_node, tlas_rows.shape[0], "rt.tlas_node")]  # (R, 8)
         t_hit = _slab(origins, inv0, trow[:, 0:3], trow[:, 4:7], t_max)
         t_leaf = trow[:, 3] < 0.0
         t_act = active & ~is_blas & t_hit
@@ -237,7 +239,7 @@ def occluded(
 
         # leaf: enter instance — transform ray, push BLAS root
         inst = jnp.where(t_leaf, trow[:, 7], 0.0).astype(jnp.int32)
-        irow = instance_rows[jnp.where(t_act & t_leaf, inst, 0)]  # (R, 24)
+        irow = instance_rows[checks.check_index(jnp.where(t_act & t_leaf, inst, 0), instance_rows.shape[0], "rt.instance")]  # (R, 24)
         inv_t = irow[:, :16].reshape(R, 4, 4)
         o_obj = fastmath.mat4_point(inv_t, origins)
         d_obj = fastmath.mat3_vec(inv_t[:, :3, :3], directions)
@@ -256,7 +258,7 @@ def occluded(
         blas_root = irow[:, 16].astype(jnp.int32)
 
         # --- BLAS step (current object-space ray) --------------------
-        brow = blas_rows[b_node]
+        brow = blas_rows[checks.check_index(b_node, blas_rows.shape[0], "rt.blas_node")]
         b_hit = _slab(s["co"], s["cinv"], brow[:, 0:3], brow[:, 4:7], t_max)
         b_count = brow[:, 7].astype(jnp.int32)
         b_leaf = b_count > 0
@@ -454,7 +456,7 @@ def _occluded_packets_core(
         b_node = jnp.where(pa & is_blas, -entry - 1, 0)
 
         # --- TLAS step (original rays) -------------------------------
-        trow = tlas_rows[t_node]  # (K, 8)
+        trow = tlas_rows[checks.check_index(t_node, tlas_rows.shape[0], "rt.tlas_node")]  # (K, 8)
         t_hit = _slab(
             o, inv0, trow[:, None, 0:3], trow[:, None, 4:7], tm
         ) & lane_live  # (K, P)
@@ -466,7 +468,7 @@ def _occluded_packets_core(
         push2 = t_act & ~t_leaf
 
         inst = jnp.where(t_leaf, trow[:, 7], 0.0).astype(jnp.int32)
-        irow = instance_rows[jnp.where(t_act & t_leaf, inst, 0)]  # (K, 24)
+        irow = instance_rows[checks.check_index(jnp.where(t_act & t_leaf, inst, 0), instance_rows.shape[0], "rt.instance")]  # (K, 24)
         # fastmath with a broadcast packet axis: IDENTICAL float order to
         # the per-ray path (bit-exactness depends on it)
         inv_t = irow[:, :16].reshape(K, 1, 4, 4)
@@ -491,7 +493,7 @@ def _occluded_packets_core(
         blas_root = irow[:, 16].astype(jnp.int32)
 
         # --- BLAS step (current object-space rays) -------------------
-        brow = blas_rows[b_node]  # (K, 8)
+        brow = blas_rows[checks.check_index(b_node, blas_rows.shape[0], "rt.blas_node")]  # (K, 8)
         b_hit = _slab(
             s["co"], s["cinv"], brow[:, None, 0:3], brow[:, None, 4:7], tm
         ) & lane_live & s["lane_in"]  # (K, P) own-lane leaf gate
@@ -629,7 +631,7 @@ def closest_hit(
         t_node = jnp.where(act & ~is_blas, entry - 1, 0)
         b_node = jnp.where(act & is_blas, -entry - 1, 0)
 
-        trow = tlas_rows[t_node]
+        trow = tlas_rows[checks.check_index(t_node, tlas_rows.shape[0], "rt.tlas_node")]
         t_hit = _slab(origins, inv0, trow[:, 0:3], trow[:, 4:7], s["t"])
         t_leaf = trow[:, 3] < 0.0
         t_act = act & ~is_blas & t_hit
@@ -638,7 +640,7 @@ def closest_hit(
         push2 = t_act & ~t_leaf
 
         inst = jnp.where(t_leaf, trow[:, 7], 0.0).astype(jnp.int32)
-        irow = instance_rows[jnp.where(t_act & t_leaf, inst, 0)]
+        irow = instance_rows[checks.check_index(jnp.where(t_act & t_leaf, inst, 0), instance_rows.shape[0], "rt.instance")]
         inv_t = irow[:, :16].reshape(R, 4, 4)
         o_obj = fastmath.mat4_point(inv_t, origins)
         d_obj = fastmath.mat3_vec(inv_t[:, :3, :3], directions)
@@ -654,7 +656,7 @@ def closest_hit(
         bvh_base = jnp.where(enter, irow[:, 16].astype(jnp.int32), s["bvh_base"])
         blas_root = irow[:, 16].astype(jnp.int32)
 
-        brow = blas_rows[b_node]
+        brow = blas_rows[checks.check_index(b_node, blas_rows.shape[0], "rt.blas_node")]
         b_hit = _slab(s["co"], s["cinv"], brow[:, 0:3], brow[:, 4:7], s["t"])
         b_count = brow[:, 7].astype(jnp.int32)
         b_leaf = b_count > 0

@@ -27,9 +27,12 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+from ..core import checks
 
 WHITE_TEXTURE = 0
 BLACK_TEXTURE = 1
@@ -377,6 +380,7 @@ def _bilinear_level(pool: TexturePoolData, tex_id, uv, level, lod_frac=None,
     y0i = jnp.mod(y0.astype(jnp.int32), lh)
 
     idx = tex_id * pool.total + off + y0i * stride + x0i
+    idx = checks.check_index(idx, pool.quads.shape[0], "texture.quads")
     q = pool.quads[idx].astype(jnp.float32) * (1.0 / 255.0)  # (..., 32)
 
     def bilin(base):
@@ -502,6 +506,9 @@ def sample_trilinear_quadblock(pool: TexturePoolData, tex_id, uv, lod,
         + by * a00(q4(stride)) + bx
     )
     scale = jnp.float32(1.0 / 255.0)
+    bidx = checks.check_index(
+        bidx, pool.child_blocks.shape[0], "texture.blocks"
+    )
     cb = (pool.child_blocks[bidx].astype(jnp.float32) * scale).reshape(
         Hq, Wq, 4, 4, 4
     )  # [j, i, rgba]
@@ -546,10 +553,23 @@ def sample_trilinear_quadblock(pool: TexturePoolData, tex_id, uv, lod,
     py = jnp.concatenate([qy * 2, qy * 2, qy * 2 + 1, qy * 2 + 1])
     px = jnp.concatenate([qx * 2, qx * 2 + 1, qx * 2, qx * 2 + 1])
     pix = py * W + px  # (4F,)
-    idx_e = idx_img.reshape(-1)[pix]
+    # ONE packed 16 B per-pixel row (idx bit-cast + tx/ty/frac) instead of
+    # four separate element gathers — gathers are row-rate bound, and the
+    # bitcast transports the i32 index exactly (no arithmetic on the f32).
+    epack = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(idx_img, jnp.float32),
+            tx[..., 0], ty[..., 0], frac,
+        ],
+        axis=-1,
+    ).reshape(-1, 4)  # (H*W, 4) f32
+    eg = epack[pix]  # (4F, 4)
+    idx_e = jax.lax.bitcast_convert_type(eg[:, 0], jnp.int32)
+    idx_e = checks.check_index(idx_e, pool.quads.shape[0],
+                               "texture.quads_edge")
     qrow = pool.quads[idx_e].astype(jnp.float32) * scale  # (4F, 32)
-    txe = tx.reshape(-1, 1)[pix]
-    tye = ty.reshape(-1, 1)[pix]
+    txe = eg[:, 1:2]
+    tye = eg[:, 2:3]
 
     def bilin_e(base):
         c00 = qrow[:, base : base + 4]
@@ -560,7 +580,7 @@ def sample_trilinear_quadblock(pool: TexturePoolData, tex_id, uv, lod,
         bot = c01 + (c11 - c01) * txe
         return top + (bot - top) * tye
 
-    frace = frac.reshape(-1, 1)[pix]
+    frace = eg[:, 3:4]
     ch_e = bilin_e(0)
     vals = ch_e + (bilin_e(16) - ch_e) * frace
     widx = jnp.where(jnp.concatenate([valid] * 4), pix, H * W)
