@@ -134,3 +134,60 @@ def compact_indices(mask_flat, size):
     return jnp.concatenate(
         [order, jnp.zeros(size - n, order.dtype)]
     )
+
+
+def _bilinear_matrix(n_out: int, n_in: int, s: int):
+    """(n_out, n_in) numpy f32 interpolation matrix reproducing
+    jax.image.resize('bilinear') upsample weights at integer scale s:
+    half-pixel centers src = (i + 0.5)/s - 0.5, edge clamp."""
+    import numpy as np
+
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) / s - 0.5
+    lo = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w_hi = np.clip(src - np.floor(src), 0.0, 1.0)
+    w_hi = np.where(src < 0, 0.0, np.where(src > n_in - 1, 1.0, w_hi))
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    m[np.arange(n_out), lo] += (1.0 - w_hi).astype(np.float32)
+    m[np.arange(n_out), hi] += w_hi.astype(np.float32)
+    return m
+
+
+def upsample_bilinear_mm(x, s: int, h_out: int, w_out: int):
+    """(h, w, C) -> (h_out, w_out, C) bilinear upsample as TWO dot_generals
+    on constant weight matrices — the MXU-native resize. jax.image.resize
+    is also matmul-based but measured slower at 2x on TPU (r4 probe #2);
+    this form keeps the contraction shapes MXU-friendly and constant."""
+    import numpy as np
+
+    h, w, c = x.shape
+    ah = jnp.asarray(_bilinear_matrix(h_out, h, s))
+    aw = jnp.asarray(_bilinear_matrix(w_out, w, s))
+    # rows: (h_out, h) @ (h, w*c) -> (h_out, w, c)
+    y = (ah @ x.reshape(h, w * c)).reshape(h_out, w, c)
+    # cols: contract w with aw^T: (h_out, w, c) x (w_out, w) -> (h_out, w_out, c)
+    y = jax.lax.dot_general(
+        y, aw, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (h_out, c, w_out)? no: dims = (h_out, c, w_out)
+    return jnp.transpose(y, (0, 2, 1))
+
+
+def subsample_mm(x, s: int):
+    """(h, w, C) -> (h//s', w//s', C) every-s-th-pixel selection as two
+    dot_generals with one-hot matrices — avoids the layout-hostile
+    [::s, ::s] strided slice on TPU. s' rounds up like x[::s]."""
+    import numpy as np
+
+    h, w, c = x.shape
+    ho, wo = -(-h // s), -(-w // s)
+    sh = np.zeros((ho, h), dtype=np.float32)
+    sh[np.arange(ho), np.arange(ho) * s] = 1.0
+    sw = np.zeros((wo, w), dtype=np.float32)
+    sw[np.arange(wo), np.arange(wo) * s] = 1.0
+    y = (jnp.asarray(sh) @ x.reshape(h, w * c)).reshape(ho, w, c)
+    y = jax.lax.dot_general(
+        y, jnp.asarray(sw), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.transpose(y, (0, 2, 1))
