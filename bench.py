@@ -89,6 +89,16 @@ AB_VARIANTS = {
     # INCREMENTALLY — the expected winners go right after base so a sweep
     # cut short by the watcher timeout still yields them.
     "base": (dict(), False, 1, "off"),
+    # planar (channel-major) resolve: identical arithmetic on (H, W)
+    # planes instead of (H, W, 3)-shaped arrays whose tiny trailing dims
+    # lane-pad to 128 on TPU. GBuffer fields bit-identical, aux taps
+    # last-ulp (tests/test_resolve_planar.py); tools/r4_probe.py measured
+    # the dense resolve MATH (not its gathers) at ~36 ms — all layout.
+    "all_lut_p": (
+        dict(fused_resolve_rec=True, inst_rec_f16=True,
+             planar_resolve=True), True, 2, "on"
+    ),
+    "planar": (dict(planar_resolve=True), False, 1, "off"),
     # tile-rate (slot) resolve + quad-block TAA history + quad-rate albedo
     # tap are bit-exact with the default path (tests/test_resolve_slot.py,
     # test_taa_quad.py, test_texture_meta.py); slot subsumes quad-rate

@@ -90,6 +90,14 @@ class RasterConfig:
     # well inside the 1e-2 image budget (test_inst_rec_f16_...). A/B on
     # TPU before enabling.
     inst_rec_f16: bool = False
+    # Channel-major resolve math (resolve._pixel_fields_planar): the
+    # identical per-pixel arithmetic on (H, W) planes instead of
+    # (H, W, 3)-shaped vectors, whose tiny trailing dims lane-pad to 128
+    # when XLA materializes them between fusion barriers. Bit-exact
+    # (tests/test_resolve_planar.py). Dense path only — ignored when a
+    # coherence path (quad/slot/tap_block) is on. A/B on TPU before
+    # enabling.
+    planar_resolve: bool = False
     # Coherence-aware resolve (resolve._quad_fetch): issue the three
     # per-pixel resolve row gathers once per UNIFORM 2x2 pixel quad
     # (neighbors usually hit the same triangle) and per-pixel only for

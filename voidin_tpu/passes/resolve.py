@@ -533,6 +533,243 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Planar (channel-major) resolve twin — RasterConfig.planar_resolve
+# ---------------------------------------------------------------------------
+#
+# Hardware finding (tools/r4_probe.py, TPU v5e): the dense resolve math —
+# NOT its gathers — costs ~36 ms at 1080p (rows fetched at constant index 0
+# time the same as real indices; dropping the texture taps saves only
+# ~3 ms). The per-pixel math operates on (H, W, 3) / (H, W, 3, 3) arrays
+# whose tiny trailing dims land in the TPU's minor (lane) dimension and pad
+# to 128 when materialized between fusion barriers — up to 42x wasted
+# HBM traffic and VPU lanes. This twin evaluates the IDENTICAL arithmetic
+# (same ops, same association order, bit-exact — tests/test_resolve_planar)
+# on channel-major (H, W) planes, which tile perfectly.
+
+
+def _planar(t):
+    """(H, W, C) -> list of C (H, W) planes via ONE transpose."""
+    return list(jnp.moveaxis(t, -1, 0))
+
+
+def _decode_oct_planar(plane_u32):
+    """decode_octahedral_32 on a (H, W) u32 plane -> 3 planes (bit-exact:
+    same ops in the same order as encoding.decode_octahedral_32)."""
+    mu = float((1 << 16) - 1)
+    data = plane_u32.astype(jnp.uint32)
+    vx = (data & jnp.uint32(0xFFFF)).astype(jnp.float32) / mu * 2.0 - 1.0
+    vy = ((data >> 16) & jnp.uint32(0xFFFF)).astype(
+        jnp.float32) / mu * 2.0 - 1.0
+    z = 1.0 - jnp.abs(vx) - jnp.abs(vy)
+    t = jnp.maximum(-z, 0.0)
+    x = vx + jnp.where(vx > 0.0, -t, t)
+    y = vy + jnp.where(vy > 0.0, -t, t)
+    norm = jnp.sqrt(x * x + y * y + z * z)
+    return x / norm, y / norm, z / norm
+
+
+def _encode_oct_planar(x, y, z):
+    """encode_octahedral_32 on planes (bit-exact twin)."""
+    denom = jnp.abs(x) + jnp.abs(y) + jnp.abs(z)
+    nx, ny, nz = x / denom, y / denom, z / denom
+    fx = (1.0 - jnp.abs(ny)) * jnp.sign(nx)
+    fy = (1.0 - jnp.abs(nx)) * jnp.sign(ny)
+    lower = nz < 0.0
+    ex = jnp.where(lower, fx, nx) * 0.5 + 0.5
+    ey = jnp.where(lower, fy, ny) * 0.5 + 0.5
+    mu = float((1 << 16) - 1)
+    dx = jnp.floor(ex * mu + 0.5).astype(jnp.uint32)
+    dy = jnp.floor(ey * mu + 0.5).astype(jnp.uint32)
+    return (dy << 16) | dx
+
+
+def _pack2x16_planar(u, v):
+    """pack2x16float on planes (bit-exact twin)."""
+    lo = jax.lax.bitcast_convert_type(
+        u.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        v.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    return lo | (hi << 16)
+
+
+def _unpack2x16_planar(p):
+    """unpack2x16float on a plane -> 2 planes (bit-exact twin)."""
+    p = p.astype(jnp.uint32)
+    u = jax.lax.bitcast_convert_type(
+        (p & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    v = jax.lax.bitcast_convert_type(
+        ((p >> 16) & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return u, v
+
+
+def _normalize_planar(x, y, z, eps=1e-20):
+    norm = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x / norm, y / norm, z / norm
+
+
+def _uv_lod_planar(u, v, tex_w, tex_h):
+    """uv_lod (shading.py) on planes: image-space finite differences."""
+    du_u = jnp.diff(u, axis=1, append=u[:, -1:])
+    du_v = jnp.diff(v, axis=1, append=v[:, -1:])
+    dv_u = jnp.diff(u, axis=0, append=u[-1:, :])
+    dv_v = jnp.diff(v, axis=0, append=v[-1:, :])
+    rho = jnp.maximum(
+        jnp.abs(du_u) * tex_w + jnp.abs(du_v) * tex_h,
+        jnp.abs(dv_u) * tex_w + jnp.abs(dv_v) * tex_h,
+    )
+    return jnp.clip(jnp.log2(jnp.maximum(rho, 1e-8)), 0.0, 16.0)
+
+
+def _pixel_fields_planar(scene: SceneData, vis: VisBuffer, tri_id, depth,
+                         x_ndc, y_ndc, want_aux: bool = True,
+                         inst_f16: bool = False):
+    """Channel-major twin of `_pixel_fields` for the dense (H, W) path
+    (image-space lod, no coherence machinery). Bit-exact by construction:
+    every multiply-add appears in the same order as the vector form."""
+    S = tri_id.shape
+    hit = tri_id >= 0
+    rows = _fetch_rows(scene, vis, tri_id, inst_f16)
+
+    rec_p = _planar(rows["rec"])
+    pk_p = _planar(rows["pk"])
+    if inst_f16:
+        irec_p = []
+        for j in range(12):
+            pair = jax.lax.bitcast_convert_type(
+                rows["irec"][..., j], jnp.float16)  # (*S, 2) f16
+            irec_p.append(pair[..., 0].astype(jnp.float32))
+            irec_p.append(pair[..., 1].astype(jnp.float32))
+    else:
+        irec_p = _planar(rows["irec"])
+
+    cl = rec_p[:9]  # vertex-major: cl[3*i + j], j in (x, y, w)
+    uv_c = [jax.lax.bitcast_convert_type(pk_p[k], jnp.float32)
+            for k in range(6)]
+    n_c = [_decode_oct_planar(pk_p[6 + i]) for i in range(3)]  # [(x,y,z)]*3
+    no_nmaps = getattr(scene, "no_normal_maps", False)
+    if not no_nmaps:
+        t_sign = [1.0 - 2.0 * (pk_p[9 + i] & jnp.uint32(1)).astype(
+            jnp.float32) for i in range(3)]
+        t_c = [_decode_oct_planar(pk_p[9 + i]) for i in range(3)]
+
+    def bary(xn, yn):
+        u = [cl[3 * i + 0] - xn * cl[3 * i + 2] for i in range(3)]
+        v = [cl[3 * i + 1] - yn * cl[3 * i + 2] for i in range(3)]
+        b = [u[1] * v[2] - u[2] * v[1],
+             u[2] * v[0] - u[0] * v[2],
+             u[0] * v[1] - u[1] * v[0]]
+        bsum = b[0] + b[1] + b[2]
+        sign = jnp.where(bsum < 0, -1.0, 1.0)
+        denom = jnp.maximum(bsum * sign, 1e-20)
+        return [bi * sign / denom for bi in b]
+
+    lam = bary(x_ndc, y_ndc)
+
+    def interp(c):  # c: list of 3 corner planes
+        return c[0] * lam[0] + c[1] * lam[1] + c[2] * lam[2]
+
+    normal_raw = [interp([n_c[i][j] for i in range(3)]) for j in range(3)]
+    u_pl = interp([uv_c[0], uv_c[2], uv_c[4]])
+    v_pl = interp([uv_c[1], uv_c[3], uv_c[5]])
+
+    basis = irec_p[:9]  # row-major basis[3*i + j]
+
+    def mat3v(vec):
+        return [basis[3 * i + 0] * vec[0] + basis[3 * i + 1] * vec[1]
+                + basis[3 * i + 2] * vec[2] for i in range(3)]
+
+    n_ws = mat3v(normal_raw)
+    material_id = irec_p[9].astype(jnp.int32)
+    mat_albedo = irec_p[10].astype(jnp.int32)
+    mat_normal = irec_p[11].astype(jnp.int32)
+    base_color_a = irec_p[12]
+    tex_w, tex_h = irec_p[15], irec_p[16]
+
+    lod = _uv_lod_planar(u_pl, v_pl, tex_w, tex_h)
+    uv_img = jnp.stack([u_pl, v_pl], axis=-1)
+    albedo = sample_trilinear(scene.textures, mat_albedo, uv_img, lod,
+                              wh=(tex_w, tex_h),
+                              srgb=getattr(scene, "albedo_srgb", None))
+
+    n_geo = _normalize_planar(*n_ws)
+    if no_nmaps:
+        normal = n_geo
+    else:
+        tangent_raw = [interp([t_c[i][j] for i in range(3)])
+                       for j in range(3)]
+        tangent_w = interp(t_sign)
+        t_ws = mat3v(tangent_raw)
+        b_ws = [(n_ws[1] * t_ws[2] - n_ws[2] * t_ws[1]) * tangent_w,
+                (n_ws[2] * t_ws[0] - n_ws[0] * t_ws[2]) * tangent_w,
+                (n_ws[0] * t_ws[1] - n_ws[1] * t_ws[0]) * tangent_w]
+        normal_tex = sample_trilinear(
+            scene.textures, mat_normal, uv_img, lod,
+            srgb=getattr(scene, "normal_srgb", None))
+        nt = _planar(normal_tex)
+        tbn_t = _normalize_planar(*t_ws)
+        tbn_b = _normalize_planar(*b_ws)
+        use_map = mat_normal != 0
+        mapped = [tbn_t[j] * (nt[0] * 2.0 - 1.0)
+                  + tbn_b[j] * (nt[1] * 2.0 - 1.0)
+                  + n_geo[j] * (nt[2] * 2.0 - 1.0) for j in range(3)]
+        normal = _normalize_planar(*[
+            jnp.where(use_map, mapped[j], n_geo[j]) for j in range(3)
+        ])
+
+    cut = (base_color_a < 0.5) | (albedo[..., 3] < 0.5)
+    keep = hit & ~cut
+
+    packed_n = _encode_oct_planar(*normal)
+    packed_uv = _pack2x16_planar(u_pl, v_pl)
+    out = dict(
+        packed_n=jnp.where(keep, packed_n, jnp.uint32(0)),
+        packed_uv=jnp.where(keep, packed_uv, jnp.uint32(0)),
+        material=jnp.where(keep, material_id, 0).astype(jnp.int32),
+        depth=jnp.where(keep, depth, 0.0),
+        keep=keep,
+        cut=cut,
+    )
+    if not want_aux:
+        return out
+
+    mats = scene.materials
+    out["albedo"] = jnp.where(keep[..., None], albedo,
+                              jnp.ones_like(albedo))
+    mat_emissive = irec_p[13].astype(jnp.int32)
+    mat_mr = irec_p[14].astype(jnp.int32)
+    if not (scene.emissive_const and scene.mr_const):
+        us, vs = _unpack2x16_planar(out["packed_uv"])
+        lod_s = _uv_lod_planar(us, vs, jnp.where(keep, tex_w, 1.0),
+                               jnp.where(keep, tex_h, 1.0))
+        uv_s = jnp.stack([us, vs], axis=-1)
+    if scene.emissive_const:
+        out["emissive"] = jnp.where(
+            keep[..., None], jnp.stack(irec_p[17:20], axis=-1),
+            mats.emissive_rgba[0, :3],
+        )
+    else:
+        out["emissive"] = sample_trilinear(
+            scene.textures,
+            jnp.where(keep, mat_emissive, mats.emissive[0]),
+            uv_s, lod_s, srgb=getattr(scene, "emissive_srgb", None),
+        )[..., :3]
+    if scene.mr_const:
+        out["mr"] = jnp.where(
+            keep[..., None], jnp.stack(irec_p[20:24], axis=-1),
+            mats.mr_rgba[0],
+        )
+    else:
+        out["mr"] = sample_trilinear(
+            scene.textures,
+            jnp.where(keep, mat_mr, mats.metallic_roughness[0]),
+            uv_s, lod_s, srgb=getattr(scene, "mr_srgb", None),
+        )
+    return out
+
+
 def _assemble(fields, overflow=None):
     gbuffer = GBuffer(
         normal_uv=jnp.stack([fields["packed_n"], fields["packed_uv"]],
@@ -622,9 +859,18 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
         tap_cap = getattr(config, "tap_edge_capacity", 0) \
             or max((H // 2) * (W // 2) // 4, 1024)
 
+    planar = getattr(config, "planar_resolve", False) and not (
+        quad or slot or tap_cap is not None
+    )
+
     def dense_fields(tri_id, depth, want_aux=True):
         """Dense (H, W) resolve; slot-/quad-rate gathers when enabled."""
         nonlocal quad_ovf
+        if planar:
+            return _pixel_fields_planar(
+                scene, vis, tri_id, depth, x_ndc, y_ndc,
+                want_aux=want_aux, inst_f16=f16,
+            )
         rows = None
         channels = None
         if slot:
