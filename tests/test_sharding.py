@@ -208,6 +208,42 @@ def test_sharded_raster_track2_matches_unsharded():
         )
 
 
+def test_sharded_setup_is_slot_partitioned(monkeypatch):
+    """Triangle setup must not run replicated (VERDICT r3 #5): under the
+    sharded raster each device transforms tri_capacity/N work slots
+    (setup_work_slice num=cap/N — 1/N of the setup flops and gather rows)
+    and the packed streams are exchanged with an all-gather."""
+    from voidin_tpu.parallel.sharding import rasterize_sharded
+    from voidin_tpu.passes import cull, raster
+
+    cfg, (scene, cam, _g, _st, _mov) = _scene()
+    cfg = dataclasses.replace(cfg, backend="pallas", interpret=True)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+    mesh = make_mesh(8)
+
+    calls = []
+    orig = raster.setup_work_slice
+
+    def spy(*a, **kw):
+        calls.append(kw.get("num"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(raster, "setup_work_slice", spy)
+
+    def f():
+        return rasterize_sharded(
+            scene.meshes, scene.instances, draws, cam, cfg, mesh,
+            materials=scene.materials,
+        )
+
+    lowered = jax.jit(f).lower()
+    assert calls == [cfg.tri_capacity // 8], calls
+    hlo = lowered.as_text()
+    assert "all-gather" in hlo or "all_gather" in hlo, (
+        "the setup streams must be exchanged with an all-gather"
+    )
+
+
 def test_sharded_extras_capacity_scales_inverse_n():
     """The per-device extras window shrinks ~1/N (padded ops cost by
     capacity — the binning tail must actually scale with device count)."""

@@ -92,16 +92,25 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
     device's tile-row slab (local pair stream + local sort), and the fine
     raster runs over NT/N tiles.
 
-    Triangle setup stays replicated (each device transforms the full
-    triangle list — its output feeds every slab a triangle touches; at
-    1080p the per-pixel stages dominate, see README), and so does the
-    1:1 first-tile stream (slot i <-> triangle i by construction). The
-    multi-tile EXTRAS stream, its scans/gathers, and the tile sort tail
-    scale with a per-device pair capacity of pair_capacity/N: the slab
-    clamp makes live extras ~1/N per device, so capacity (which is what
-    padded ops cost by) shrinks with it; the psum'd overflow counter
-    still validates tightness. Returns a VisBuffer whose images are
-    row-sharded across the mesh.
+    Triangle SETUP is slot-partitioned too: the per-draw record phase
+    (setup_draw_records, O(n_draws)) runs replicated, each device then
+    transforms/clips/packs tri_capacity/N work slots (setup_work_slice —
+    1/N of the setup flops and gather rows), and the packed streams are
+    all-gathered over ICI so every device can bin any triangle into its
+    own slab; the extras compaction (setup_finalize, one fused-key sort)
+    replays replicated on the gathered stream. A tiled all_gather restores
+    exact slot order, so the result is bit-identical to the unsharded
+    setup. The exchange moves the packed records (~220 B/slot) once per
+    frame — bandwidth for compute, and the first win is the kill of the
+    replicated transform that bounded multi-chip scaling (VERDICT r3 #5).
+
+    The 1:1 first-tile stream (slot i <-> triangle i by construction)
+    stays full-length per device. The multi-tile EXTRAS stream, its
+    scans/gathers, and the tile sort tail scale with a per-device pair
+    capacity of pair_capacity/N: the slab clamp makes live extras ~1/N
+    per device, so capacity (which is what padded ops cost by) shrinks
+    with it; the psum'd overflow counter still validates tightness.
+    Returns a VisBuffer whose images are row-sharded across the mesh.
     """
     import dataclasses
 
@@ -120,15 +129,31 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
             f"tiles_y={TY} must divide evenly across {n_dev} devices "
             f"(pad height to a multiple of {config.tile_h * n_dev})"
         )
+    cap = config.tri_capacity
+    if cap % n_dev:
+        raise ValueError(
+            f"tri_capacity={cap} must divide evenly across {n_dev} devices"
+        )
+    slots_per = cap // n_dev
     rows_per = TY // n_dev
     track2 = config.alpha_mask
 
-    setup = raster_pass.triangle_setup(
+    draw_rec, n_tris, cum_draws = raster_pass.setup_draw_records(
         meshes, instances, draws, camera, config, materials=materials
     )
+    tri_attr = meshes.tri_attr_packed if config.fused_resolve_rec else None
 
-    def body(setup_):
+    def body(draw_rec_, n_tris_, cum_draws_, tri_pos_, tri_attr_):
         d = jax.lax.axis_index(ROW_AXIS)
+        parts = raster_pass.setup_work_slice(
+            tri_pos_, tri_attr_, draw_rec_, n_tris_, cum_draws_, config,
+            lo=d * slots_per, num=slots_per,
+        )
+        parts = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, ROW_AXIS, axis=0, tiled=True),
+            parts,
+        )
+        setup_ = raster_pass.setup_finalize(parts, cum_draws_, config)
         ty_lo = d * rows_per
         rec_sorted, starts, counts, overflow = (
             raster_pass.bin_triangles_pairs(
@@ -155,30 +180,35 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
         depth = untile(outs[0])
         tri_id = untile(outs[1]).astype(jnp.int32)
         overflow = jax.lax.psum(overflow, ROW_AXIS)
+        # resolve_rec / setup_overflow are computed identically on every
+        # device (gathered stream + replicated finalize) -> out spec P().
+        common = (setup_["resolve_rec"], setup_["setup_overflow"])
         if track2:
             return (depth, tri_id, overflow, untile(outs[2]),
-                    untile(outs[3]).astype(jnp.int32))
-        return depth, tri_id, overflow
+                    untile(outs[3]).astype(jnp.int32)) + common
+        return (depth, tri_id, overflow) + common
 
     row_spec = P(ROW_AXIS, None)
     out_specs = (
-        (row_spec, row_spec, P(), row_spec, row_spec)
-        if track2 else (row_spec, row_spec, P())
+        (row_spec, row_spec, P(), row_spec, row_spec, P(), P())
+        if track2 else (row_spec, row_spec, P(), P(), P())
     )
     outs = shard_map_unchecked(
-        body, mesh=mesh, in_specs=(P(),), out_specs=out_specs
-    )(setup)
+        body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=out_specs,
+    )(draw_rec, n_tris, cum_draws, meshes.tri_pos, tri_attr)
 
     H, W = config.height, config.width
     depth, tri_id, bin_overflow = outs[0], outs[1], outs[2]
+    resolve_rec, setup_overflow = outs[-2], outs[-1]
     tri_id2 = depth2 = None
     if track2:
         depth2, tri_id2 = outs[3][:H, :W], outs[4][:H, :W]
     return raster_pass.VisBuffer(
         tri_id=tri_id[:H, :W],
         depth=depth[:H, :W],
-        resolve_rec=setup["resolve_rec"],
-        overflow=bin_overflow + setup["setup_overflow"],
+        resolve_rec=resolve_rec,
+        overflow=bin_overflow + setup_overflow,
         tri_id2=tri_id2,
         depth2=depth2,
     )

@@ -266,7 +266,7 @@ def _front_face(sx, sy):
     return area2 < 0.0
 
 
-def triangle_setup(
+def setup_draw_records(
     meshes: MeshPoolData,
     instances: InstanceData,
     draws: DrawList,
@@ -274,14 +274,19 @@ def triangle_setup(
     config: RasterConfig,
     materials=None,
 ):
-    """Per-work-item triangle screen data, packed records, capacity padded.
+    """Setup phase A (per-DRAW, cheap): the fat per-draw record plus
+    triangle counts and stream offsets.
 
-    `materials`: when given, triangles whose material base_color.w < 0.5 are
-    dropped here — every fragment of such a triangle discards
-    (visibility.wgsl:79), so the whole triangle can never write depth. The
-    per-TEXEL albedo cutoff is handled downstream via second-candidate
-    tracking (RasterConfig.alpha_mask) + resolve fallback."""
-    cap = config.tri_capacity
+    One fat record (mvp + offsets + instance id) -> a single 96 B gather
+    per work item serves ALL draw-level data (gathers are row-rate bound;
+    width is nearly free). The draw's stream START rides the record too,
+    so position-within-draw needs no second gather
+    (segment_ids_from_counts need_local=False).
+
+    Split from the per-work-item phase (setup_work_slice) so the sharded
+    raster can replicate this O(n_draws) part while partitioning the heavy
+    per-triangle math across devices
+    (parallel/sharding.rasterize_sharded)."""
     inst_ids = draws.instance  # (N,) -1 padded
     safe_inst = jnp.maximum(inst_ids, 0)
     if draws.mesh is not None:  # cull-time LOD selection (cull.select_lod)
@@ -294,15 +299,6 @@ def triangle_setup(
         0,
     )  # (N,)
 
-    draw_slot, _, valid = segment_ids_from_counts(
-        n_tris, cap, need_local=False
-    )
-
-    # One fat per-draw record (mvp + offsets + instance id) -> a single
-    # 96 B gather per work item serves ALL draw-level data (gathers are
-    # row-rate bound; width is nearly free). The draw's stream START rides
-    # the record too, so position-within-draw needs no second gather
-    # (segment_ids_from_counts need_local=False).
     view_proj = jnp.asarray(camera.projection) @ jnp.asarray(camera.view)
     mvp = fastmath.compose_mat4(view_proj, instances.transform)  # (N_inst,4,4)
     n_draws = inst_ids.shape[0]
@@ -328,20 +324,53 @@ def triangle_setup(
         ],
         axis=-1,
     )  # (N, 24) f32
-    rec = draw_rec[draw_slot]  # (cap, 24)
+    return draw_rec, n_tris, cum_draws
+
+
+def setup_work_slice(
+    tri_pos,
+    tri_attr_packed,
+    draw_rec,
+    n_tris,
+    cum_draws,
+    config: RasterConfig,
+    lo=0,
+    num=None,
+):
+    """Setup phase B (per-WORK-ITEM, heavy): transform/clip/project/pack
+    for the global work slots [lo, lo+num).
+
+    Every operation here is per-slot (elementwise math + gathers along the
+    slot axis), so a slice computes bit-identical values to the same rows
+    of the full-capacity run — the property the sharded raster relies on:
+    each device runs this over tri_capacity/N slots (1/N of the transform
+    flops and gather rows) and the packed streams are then all-gathered
+    (parallel/sharding.rasterize_sharded). `lo` may be a traced scalar
+    (lax.axis_index). `tri_attr_packed` is only read when
+    config.fused_resolve_rec."""
+    cap = config.tri_capacity
+    if num is None:
+        num = cap
+    draw_slot, _, valid = segment_ids_from_counts(
+        n_tris, cap, need_local=False
+    )
+    full_range = isinstance(lo, int) and lo == 0 and num == cap
+    if not full_range:
+        draw_slot = jax.lax.dynamic_slice_in_dim(draw_slot, lo, num)
+        valid = jax.lax.dynamic_slice_in_dim(valid, lo, num)
+    slot_ids = lo + jnp.arange(num, dtype=jnp.int32)  # global work slots
+    rec = draw_rec[draw_slot]  # (num, 24)
     inst = jnp.where(valid, rec[:, 18].astype(jnp.int32), 0)
     bc_cut = rec[:, 19] < 0.5  # base_color.w cutoff: drop the triangle
-    local_tri = jnp.arange(cap, dtype=jnp.int32) - rec[:, 20].astype(
-        jnp.int32
-    )
+    local_tri = slot_ids - rec[:, 20].astype(jnp.int32)
     tri_pool = rec[:, 16].astype(jnp.int32) + local_tri
     idx_start = rec[:, 17].astype(jnp.int32) + 3 * local_tri
 
     # One 36 B de-indexed corner row per triangle.
-    pos = meshes.tri_pos[jnp.where(valid, tri_pool, 0)].reshape(cap, 3, 3)
+    pos = tri_pos[jnp.where(valid, tri_pool, 0)].reshape(num, 3, 3)
 
-    m = rec[:, :16].reshape(cap, 4, 4)
-    clip = fastmath.mat4_point4(m[:, None, :, :], pos)  # (cap, 3, 4)
+    m = rec[:, :16].reshape(num, 4, 4)
+    clip = fastmath.mat4_point4(m[:, None, :, :], pos)  # (num, 3, 4)
 
     # --- near-plane clipping (s = w - z > 0) ----------------------------
     s_dist = clip[..., 3] - clip[..., 2]
@@ -387,7 +416,109 @@ def triangle_setup(
     needs2 = valid & (n_in == 2) & ~bc_cut
     alive2 = needs2 & _front_face(sx2, sy2)
 
-    cum = cum_draws  # saturating_cumsum(n_tris), computed for draw_start
+    rec1 = _pack_raster(sx1, sy1, z1, alive1, slot_ids)
+
+    # Resolve record: ORIGINAL clip x/y/w per vertex + instance + idx_start
+    # as f32 (exact < 2^24). Clip z is NOT stored: with the infinite
+    # reverse-Z projection z_clip == znear (constant) and the homogeneous
+    # barycentrics never read it. 48B rows gather ~25% faster than 64B.
+    resolve_cols = [
+        clip[:, :, jnp.array([0, 1, 3])].reshape(num, 9),
+        inst.astype(jnp.float32)[:, None],
+        idx_start.astype(jnp.float32)[:, None],
+        jnp.zeros((num, 1), jnp.float32),
+    ]
+    if config.fused_resolve_rec:
+        # fold the corner-attribute row in (one setup-time gather per work
+        # item buys resolve one fewer per-pixel big-table gather)
+        attr = tri_attr_packed[jnp.where(valid, tri_pool, 0)]
+        resolve_cols.append(
+            jax.lax.bitcast_convert_type(attr, jnp.float32)
+        )
+    resolve1 = jnp.concatenate(resolve_cols, axis=-1)
+
+    # ONE packed 40 B row per slot serves the extras compaction downstream
+    # (sx2/sy2/z2/alive2 in one gather — row-rate bound, width nearly
+    # free).
+    extra_geom = jnp.concatenate(
+        [sx2, sy2, z2, alive2[:, None].astype(jnp.float32)], axis=-1
+    )  # (num, 10)
+
+    return dict(
+        rec1=rec1,
+        resolve1=resolve1,
+        sx1=sx1,
+        sy1=sy1,
+        z1=z1,
+        needs2=needs2,
+        extra_geom=extra_geom,
+    )
+
+
+def _pack_raster(sxv, syv, zv, alivev, ids):
+    """Affine coefficient record: e_k(p) = ax_k*px + ay_k*py + b_k and
+    the depth plane, in a per-triangle anchor frame (bbox corner) so
+    products stay at triangle magnitude; binning re-bases b to each
+    pair's tile origin. Dead records zero out with bd = -1 so their
+    candidates never win."""
+    idf = jnp.where(alivev, ids.astype(jnp.float32), -1.0)
+    n = sxv.shape[0]
+    anchor_x = jnp.floor(jnp.min(sxv, axis=-1))
+    anchor_y = jnp.floor(jnp.min(syv, axis=-1))
+    rx = sxv - anchor_x[:, None]
+    ry = syv - anchor_y[:, None]
+    nxt = jnp.array([1, 2, 0])
+    dx = rx[:, nxt] - rx  # (n, 3) per-edge deltas
+    dy = ry[:, nxt] - ry
+    ax = dy
+    ay = -dx
+    b = ry * dx - rx * dy
+    area2 = dy[:, 0] * dx[:, 1] - dx[:, 0] * dy[:, 1]  # = e0+e1+e2
+    inv = 1.0 / jnp.where(jnp.abs(area2) > 1e-20, area2, 1e-20)
+    # depth = (e1 z0 + e2 z1 + e0 z2) / area2, coefficient-wise
+    zrot = zv[:, jnp.array([2, 0, 1])]  # weight of edge k is z[(k+2)%3]
+    axd = jnp.sum(ax * zrot, axis=-1) * inv
+    ayd = jnp.sum(ay * zrot, axis=-1) * inv
+    bd = jnp.sum(b * zrot, axis=-1) * inv
+    dead = ~alivev
+    # zmax bounds the affine depth in the kernels: the precomputed
+    # 1/area2 in the depth coefficients loses the per-pixel form's
+    # convexity, so a near-degenerate sliver could otherwise win the
+    # reverse-Z competition with a catastrophically amplified depth.
+    zmax = jnp.max(zv, axis=-1)
+    rec = jnp.concatenate(
+        [
+            jnp.stack([ax[:, 0], ay[:, 0], b[:, 0],
+                       ax[:, 1], ay[:, 1], b[:, 1],
+                       ax[:, 2], ay[:, 2], b[:, 2],
+                       axd, ayd, bd], axis=-1),
+            idf[:, None],
+            anchor_x[:, None],
+            anchor_y[:, None],
+            zmax[:, None],
+        ],
+        axis=-1,
+    )
+    return jnp.where(
+        dead[:, None],
+        jnp.concatenate(
+            [jnp.zeros((n, 11), jnp.float32),
+             jnp.full((n, 1), -1.0),  # bd
+             jnp.full((n, 1), -1.0),  # idf
+             jnp.zeros((n, 3), jnp.float32)], axis=-1),
+        rec,
+    )
+
+
+def setup_finalize(parts: dict, cum_draws, config: RasterConfig):
+    """Setup phase C (stream-GLOBAL): compact the clipped second-triangles
+    into the small extras region and emit the final packed streams. Needs
+    the FULL work stream — phase-B parts covering all tri_capacity slots,
+    either from one full-range setup_work_slice call or all-gathered
+    device slices (the order restored by a tiled all_gather is the slot
+    order, so the result is bit-identical either way)."""
+    cap = config.tri_capacity
+    cum = cum_draws
     tri_total = jnp.minimum(cum[-1], cap)
 
     # Clipped second-triangles go to a SMALL separate region selected by
@@ -395,6 +526,7 @@ def triangle_setup(
     # ~65 ms/frame on TPU — scatters, unlike gathers, are not row-rate
     # flat. Extras are rare; give them cap/8 slots.)
     ecap = cap // 8
+    needs2 = parts["needs2"]
     n_extras = jnp.sum(needs2.astype(jnp.int32))
     overflow = jnp.maximum(cum[-1] - cap, 0) + jnp.maximum(n_extras - ecap, 0)
     # parent indices: one-operand fused-key compaction (same ascending
@@ -402,102 +534,26 @@ def triangle_setup(
     extra_src = fastmath.compact_indices(needs2, ecap)
     valid_extra = jnp.arange(ecap) < jnp.minimum(n_extras, ecap)
 
-    def pack_raster(sxv, syv, zv, alivev, ids):
-        """Affine coefficient record: e_k(p) = ax_k*px + ay_k*py + b_k and
-        the depth plane, in a per-triangle anchor frame (bbox corner) so
-        products stay at triangle magnitude; binning re-bases b to each
-        pair's tile origin. Dead records zero out with bd = -1 so their
-        candidates never win."""
-        idf = jnp.where(alivev, ids.astype(jnp.float32), -1.0)
-        n = sxv.shape[0]
-        anchor_x = jnp.floor(jnp.min(sxv, axis=-1))
-        anchor_y = jnp.floor(jnp.min(syv, axis=-1))
-        rx = sxv - anchor_x[:, None]
-        ry = syv - anchor_y[:, None]
-        nxt = jnp.array([1, 2, 0])
-        dx = rx[:, nxt] - rx  # (n, 3) per-edge deltas
-        dy = ry[:, nxt] - ry
-        ax = dy
-        ay = -dx
-        b = ry * dx - rx * dy
-        area2 = dy[:, 0] * dx[:, 1] - dx[:, 0] * dy[:, 1]  # = e0+e1+e2
-        inv = 1.0 / jnp.where(jnp.abs(area2) > 1e-20, area2, 1e-20)
-        # depth = (e1 z0 + e2 z1 + e0 z2) / area2, coefficient-wise
-        zrot = zv[:, jnp.array([2, 0, 1])]  # weight of edge k is z[(k+2)%3]
-        axd = jnp.sum(ax * zrot, axis=-1) * inv
-        ayd = jnp.sum(ay * zrot, axis=-1) * inv
-        bd = jnp.sum(b * zrot, axis=-1) * inv
-        dead = ~alivev
-        # zmax bounds the affine depth in the kernels: the precomputed
-        # 1/area2 in the depth coefficients loses the per-pixel form's
-        # convexity, so a near-degenerate sliver could otherwise win the
-        # reverse-Z competition with a catastrophically amplified depth.
-        zmax = jnp.max(zv, axis=-1)
-        rec = jnp.concatenate(
-            [
-                jnp.stack([ax[:, 0], ay[:, 0], b[:, 0],
-                           ax[:, 1], ay[:, 1], b[:, 1],
-                           ax[:, 2], ay[:, 2], b[:, 2],
-                           axd, ayd, bd], axis=-1),
-                idf[:, None],
-                anchor_x[:, None],
-                anchor_y[:, None],
-                zmax[:, None],
-            ],
-            axis=-1,
-        )
-        return jnp.where(
-            dead[:, None],
-            jnp.concatenate(
-                [jnp.zeros((n, 11), jnp.float32),
-                 jnp.full((n, 1), -1.0),  # bd
-                 jnp.full((n, 1), -1.0),  # idf
-                 jnp.zeros((n, 3), jnp.float32)], axis=-1),
-            rec,
-        )
-
-    e = jnp.arange(cap, dtype=jnp.int32)
-    rec1 = pack_raster(sx1, sy1, z1, alive1, e)
     extra_ids = cap + jnp.arange(ecap, dtype=jnp.int32)
-    # ONE packed 40 B gather per extra instead of four separate fetches
-    # (sx2/sy2/z2/alive2) — gathers are row-rate bound, width nearly free.
-    extra_geom = jnp.concatenate(
-        [sx2, sy2, z2, alive2[:, None].astype(jnp.float32)], axis=-1
-    )[extra_src]  # (ecap, 10)
+    extra_geom = parts["extra_geom"][extra_src]  # (ecap, 10)
     sx2e, sy2e, z2e = extra_geom[:, 0:3], extra_geom[:, 3:6], \
         extra_geom[:, 6:9]
     alive2e = extra_geom[:, 9] > 0.5
-    rec2 = pack_raster(
+    rec2 = _pack_raster(
         sx2e, sy2e, z2e, alive2e & valid_extra, extra_ids,
     )
-    raster_rec = jnp.concatenate([rec1, rec2])  # (cap + ecap, 16)
+    raster_rec = jnp.concatenate([parts["rec1"], rec2])  # (cap + ecap, 16)
 
-    # Resolve record: ORIGINAL clip x/y/w per vertex + instance + idx_start
-    # as f32 (exact < 2^24). Clip z is NOT stored: with the infinite
-    # reverse-Z projection z_clip == znear (constant) and the homogeneous
-    # barycentrics never read it. 48B rows gather ~25% faster than 64B.
-    resolve_cols = [
-        clip[:, :, jnp.array([0, 1, 3])].reshape(cap, 9),
-        inst.astype(jnp.float32)[:, None],
-        idx_start.astype(jnp.float32)[:, None],
-        jnp.zeros((cap, 1), jnp.float32),
-    ]
-    if config.fused_resolve_rec:
-        # fold the corner-attribute row in (one setup-time gather per work
-        # item buys resolve one fewer per-pixel big-table gather)
-        attr = meshes.tri_attr_packed[jnp.where(valid, tri_pool, 0)]
-        resolve_cols.append(
-            jax.lax.bitcast_convert_type(attr, jnp.float32)
-        )
-    resolve_rec = jnp.concatenate(resolve_cols, axis=-1)
-    resolve_rec = jnp.concatenate([resolve_rec, resolve_rec[extra_src]])
+    resolve_rec = jnp.concatenate(
+        [parts["resolve1"], parts["resolve1"][extra_src]]
+    )
 
     work_total = jnp.minimum(tri_total, cap) + jnp.minimum(n_extras, ecap)
     # Screen-space vertices per work item (binning bboxes + test oracles);
     # the raster record itself carries only affine coefficients.
-    sx = jnp.concatenate([sx1, sx2e])
-    sy = jnp.concatenate([sy1, sy2e])
-    sz = jnp.concatenate([z1, z2e])
+    sx = jnp.concatenate([parts["sx1"], sx2e])
+    sy = jnp.concatenate([parts["sy1"], sy2e])
+    sz = jnp.concatenate([parts["z1"], z2e])
 
     return dict(
         sx=sx,
@@ -509,6 +565,41 @@ def triangle_setup(
         tri_total=work_total,
         setup_overflow=overflow,
     )
+
+
+def triangle_setup(
+    meshes: MeshPoolData,
+    instances: InstanceData,
+    draws: DrawList,
+    camera,
+    config: RasterConfig,
+    materials=None,
+):
+    """Per-work-item triangle screen data, packed records, capacity padded.
+
+    Composition of the three setup phases — setup_draw_records (per draw)
+    -> setup_work_slice (per work item, full range here) -> setup_finalize
+    (extras compaction + final streams) — kept separate so the sharded
+    raster can partition phase B over devices while this single-device
+    entry point stays byte-identical.
+
+    `materials`: when given, triangles whose material base_color.w < 0.5 are
+    dropped here — every fragment of such a triangle discards
+    (visibility.wgsl:79), so the whole triangle can never write depth. The
+    per-TEXEL albedo cutoff is handled downstream via second-candidate
+    tracking (RasterConfig.alpha_mask) + resolve fallback."""
+    draw_rec, n_tris, cum_draws = setup_draw_records(
+        meshes, instances, draws, camera, config, materials=materials
+    )
+    parts = setup_work_slice(
+        meshes.tri_pos,
+        meshes.tri_attr_packed if config.fused_resolve_rec else None,
+        draw_rec,
+        n_tris,
+        cum_draws,
+        config,
+    )
+    return setup_finalize(parts, cum_draws, config)
 
 
 # ---------------------------------------------------------------------------
