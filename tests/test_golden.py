@@ -18,14 +18,25 @@ from voidin_tpu.passes.raster import RasterConfig
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 W, H = 160, 96
+# tri_capacity must hold the WHOLE deferred scene (31,604 work items):
+# round 4's independent oracle (tests/test_oracle.py) caught the previous
+# 1<<14 capacity silently truncating the floor plane out of the goldens —
+# overflowing work items drop, and a self-referential golden can't see it.
+# Every golden render now asserts overflow == 0.
 CFG = RasterConfig(
     width=W,
     height=H,
-    tri_capacity=1 << 14,
-    pair_capacity=1 << 16,
+    tri_capacity=1 << 16,
+    pair_capacity=1 << 17,
     tile_tri_capacity=128,
     interpret=True,
 )
+
+
+def _check_no_overflow(r):
+    assert int(r.aux["overflow"]) == 0, (
+        "golden scene exceeds raster capacities — the image is truncated"
+    )
 
 
 def _deferred_scene():
@@ -60,7 +71,9 @@ def _render_deferred():
     w = _deferred_scene()
     r = Renderer(w.device(), CFG, enable_taa=False)
     cam = vt.Camera(position=[0, 2, 0], pitch=-18.0, aspect=W / H)
-    return np.asarray(r.render(cam))
+    img = np.asarray(r.render(cam))
+    _check_no_overflow(r)
+    return img
 
 
 def _render_taa():
@@ -70,6 +83,7 @@ def _render_taa():
     img = None
     for _ in range(3):
         img = r.render(cam)
+    _check_no_overflow(r)
     return np.asarray(img)
 
 
@@ -78,7 +92,9 @@ def _render_rt():
     r = Renderer(w.device(with_tlas=True), CFG, enable_taa=False,
                  enable_rt_shadows=True)
     cam = vt.Camera(position=[0, 2, 0], pitch=-18.0, aspect=W / H)
-    return np.asarray(r.render(cam))
+    img = np.asarray(r.render(cam))
+    _check_no_overflow(r)
+    return img
 
 
 def _load_model_example():
