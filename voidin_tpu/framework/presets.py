@@ -315,10 +315,110 @@ def config5_raytraced_shadows(aspect: float) -> Preset:
     )
 
 
+def config6_sponza_textures(
+    aspect: float,
+    base_size: int = 1024,
+    n_textures: int = 104,
+    n_knots: int = 32,
+    knot_detail=(192, 24),
+    seed: int = 3,
+) -> Preset:
+    """Sponza-scale TEXTURE stress (VERDICT r3 #3).
+
+    The reference's flagship loads Sponza — ~103 real 1024^2 textures
+    (model.rs:86-106, README.md:10 "large scenes") — which is the design
+    point the texel-quad texture pool had never been demonstrated at.
+    Sponza.bin is absent from the read-only asset mount (geometry cannot
+    load), so this preset puts Sponza's REAL texture set (69 jpg/png
+    files, padded to `n_textures` with seeded procedural textures) on
+    synthesized stand-in geometry: `n_knots` dense torus knots (~9.2k
+    tris each, ~300k total) + a textured floor, one material per texture.
+
+    HBM accounting (see scene/texture.py pool_device_bytes and
+    tests/test_stress.py): the pool stores one 32 B quad row per texel
+    over the flattened mip chain — (4/3)S^2 rows = 44.7 MB per texture
+    slot at S=1024, ~4.8 GB for ~107 slots. That fits v5e HBM (16 GB)
+    alongside the 1080p frame working set ONLY with the 4x4 tap-block
+    tables off (they are 3x the pool bytes): bench.run_preset already
+    builds them solely when the tuned variant taps them, and the budget
+    test asserts both sides of that line."""
+    import glob
+
+    w = World(texture_base_size=base_size)
+    rng = np.random.default_rng(seed)
+
+    tex_dir = find_asset("glTF-Sample-Models/2.0/Sponza/glTF")
+    tex_ids: List[int] = []
+    if tex_dir is not None:
+        from ..io.image import load_image
+
+        files = sorted(
+            glob.glob(os.path.join(tex_dir, "*.jpg"))
+            + glob.glob(os.path.join(tex_dir, "*.png"))
+        )
+        for f in files[:n_textures]:
+            tex_ids.append(w.textures.add(load_image(f), srgb=True))
+    while len(tex_ids) < n_textures:  # pad / full procedural fallback
+        s = min(base_size, 256)
+        yy, xx = np.mgrid[0:s, 0:s]
+        k = len(tex_ids)
+        img = np.stack(
+            [
+                128 + 100 * np.sin(xx * (0.05 + 0.01 * (k % 7)) + k),
+                128 + 100 * np.sin(yy * (0.04 + 0.01 * (k % 5)) - k),
+                128 + 100 * np.sin((xx + yy) * 0.03 + 2 * k),
+            ],
+            axis=-1,
+        ).clip(0, 255).astype(np.uint8)
+        tex_ids.append(w.textures.add(img, srgb=True))
+
+    mats = [w.materials.add(albedo=t) for t in tex_ids]
+
+    knot = w.meshes.add(
+        mesh_mod.make_torus_knot(segments=knot_detail[0],
+                                 sides=knot_detail[1])
+    )
+    side = int(np.ceil(np.sqrt(n_knots)))
+    for i in range(n_knots):
+        gx, gz = i % side, i // side
+        t = mathx.from_translation(
+            [6.0 * (gx - (side - 1) / 2), 1.2, -8.0 - 6.0 * gz]
+        ) @ mathx.from_rotation_y(np.float32(rng.uniform(0, 6.28)))
+        w.instances.add(np.asarray(t), knot, mats[i % len(mats)])
+    w.instances.add(
+        np.asarray(
+            mathx.from_translation([0, -1.2, -20]) @ mathx.from_scale(80.0)
+        ),
+        mesh_mod.HORIZONTAL_PLANE_MESH,
+        mats[-1],
+    )
+    w.lights.add_point_light([0, 18, -12], 60.0, [1, 1, 1])
+    w.add_area_light(
+        [1, 1, 1],
+        8.0,
+        (10.0, 8.0),
+        np.asarray(
+            mathx.from_translation([0, 14, -2])
+            @ mathx.from_rotation_x(np.float32(-np.pi / 3))
+        ),
+    )
+    cam = Camera(position=[0, 6, 6], pitch=-16.0, aspect=aspect)
+    return Preset(
+        world=w,
+        camera=cam,
+        tri_capacity=1 << 19,
+        pair_capacity=1 << 19,
+        tile_tri_capacity=192,
+        quad_edge_capacity=1 << 17,
+        taa_edge_capacity=1 << 12,
+    )
+
+
 PRESETS = {
     1: config1_single_mesh,
     2: config2_instanced_cull,
     3: config3_gltf_arealights,
     4: config4_animated_taa,
     5: config5_raytraced_shadows,
+    6: config6_sponza_textures,
 }

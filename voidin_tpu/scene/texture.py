@@ -78,6 +78,21 @@ def _mip_sizes(base: int) -> List[int]:
     return sizes
 
 
+def pool_device_bytes(n_textures: int, pool_size: int,
+                      blocks: bool = False) -> int:
+    """HBM bytes of the TexturePoolData quad tables for `n_textures`
+    slots at pool size S=`pool_size`: one 32 B quad row per texel over
+    the flattened mip chain (sum of s^2 over mips ~= (4/3) S^2 rows),
+    tripled when the 4x4 tap-block tables are built. The Sponza-scale
+    budget check (tests/test_stress.py) holds this against device HBM —
+    at S=1024 a slot costs ~44.7 MB, so a ~100-texture scene fits a v5e
+    (16 GB) only with blocks=False (bench.run_preset builds blocks solely
+    when the tuned variant taps them)."""
+    total_rows = sum(s * s for s in _mip_sizes(pool_size))
+    per_slot = total_rows * 32  # quads (T, total, 32) u8
+    return n_textures * per_slot * (3 if blocks else 1)
+
+
 def _downsample2x2(img: np.ndarray) -> np.ndarray:
     h, w = img.shape[:2]
     if h == 1 and w == 1:
