@@ -98,6 +98,20 @@ AB_VARIANTS = {
         dict(fused_resolve_rec=True, inst_rec_f16=True,
              planar_resolve=True), True, 2, "on"
     ),
+    # fused_inst_rec folds the f16 instance+material record INTO the
+    # resolve record at setup (rides the per-draw gather): resolve drops
+    # from 3 to 2 per-pixel gathers. Bit-identical to inst_rec_f16
+    # (tests/test_raster.py test_fused_inst_rec_matches_inst_f16).
+    # Hardware verdict (08-19 sweep): SLOWER — 144 B rows leave the
+    # flat-cost gather regime (69.9 vs 63.1 ms); kept swept, never wins.
+    "all_lut_pi": (
+        dict(fused_resolve_rec=True, inst_rec_f16=True,
+             planar_resolve=True, fused_inst_rec=True), True, 2, "on"
+    ),
+    "ifold": (
+        dict(fused_resolve_rec=True, inst_rec_f16=True,
+             fused_inst_rec=True), False, 1, "off"
+    ),
     "planar": (dict(planar_resolve=True), False, 1, "off"),
     # tile-rate (slot) resolve + quad-block TAA history + quad-rate albedo
     # tap are bit-exact with the default path (tests/test_resolve_slot.py,

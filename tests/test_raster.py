@@ -486,6 +486,44 @@ def test_fused_resolve_rec_matches_default():
                                   np.asarray(aux_f.albedo))
 
 
+def test_fused_inst_rec_matches_inst_f16():
+    """fused_inst_rec=True (the f16 instance+material record rides the
+    resolve record from setup) must be bit-identical to inst_rec_f16's
+    per-pixel gather — same u32 values, different route."""
+    import dataclasses
+
+    from voidin_tpu.passes import resolve
+
+    w = _scene()
+    scene = w.device()
+    cam = _camera(CFG.width / CFG.height)
+    draws = cull.emit_draws(scene.meshes, scene.instances, cam)
+
+    def gb_of(cfg, inst_rec=None):
+        vis = raster.rasterize(scene.meshes, scene.instances, draws, cam,
+                               cfg, inst_rec=inst_rec)
+        gb, aux = resolve.resolve_gbuffer(scene, vis, cam, cfg)
+        return vis, gb, aux
+
+    base_cfg = dataclasses.replace(
+        CFG, fused_resolve_rec=True, inst_rec_f16=True
+    )
+    _, gb_a, aux_a = gb_of(base_cfg)
+    fused_cfg = dataclasses.replace(base_cfg, fused_inst_rec=True)
+    vis_b, gb_b, aux_b = gb_of(fused_cfg,
+                               inst_rec=resolve._inst_rec_f16(scene))
+    assert vis_b.resolve_rec.shape[-1] >= 36  # the fold actually happened
+    for name in ("normal_uv", "material", "depth"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(gb_a, name)), np.asarray(getattr(gb_b, name)),
+            err_msg=f"fused_inst_rec {name} must be bit-identical",
+        )
+    np.testing.assert_array_equal(np.asarray(aux_a.albedo),
+                                  np.asarray(aux_b.albedo))
+    np.testing.assert_array_equal(np.asarray(aux_a.emissive),
+                                  np.asarray(aux_b.emissive))
+
+
 def test_inst_rec_f16_close_to_f32():
     """inst_rec_f16=True (fused instance record packed as f16 pairs, 48 B
     rows): ids and material selection must be EXACT; interpolated basis /

@@ -183,18 +183,22 @@ def test_half_res_shadow_rays_close_to_full_res():
     w = _deferred_scene()
     cam = vt.Camera(position=[0, 2, 0], pitch=-18.0,
                     aspect=CFG.width / CFG.height)
+    # post off for the anchor-exactness clause: the sharpen stencil mixes
+    # each pixel with its +x/+y neighbors, so shadow-edge differences
+    # bleed into anchor pixels after postprocess (this surfaced when the
+    # round-4 capacity fix restored the shadow-catching floor plane)
     img1 = np.asarray(Renderer(
         w.device(with_tlas=True), CFG, enable_taa=False,
-        enable_rt_shadows=True,
+        enable_rt_shadows=True, enable_post=False,
     ).render(cam))
     img2 = np.asarray(Renderer(
         w.device(with_tlas=True), CFG, enable_taa=False,
-        enable_rt_shadows=True, rt_shadow_scale=2,
+        enable_rt_shadows=True, rt_shadow_scale=2, enable_post=False,
     ).render(cam))
     same = (img1 == img2).all(axis=-1)
     assert same.mean() > 0.90, same.mean()
-    # and the top-left sample of every 2x2 block is exact by construction
-    assert (img1[::2, ::2] == img2[::2, ::2]).mean() > 0.999
+    # the top-left sample of every 2x2 block is exact by construction
+    assert (img1[::2, ::2] == img2[::2, ::2]).all(axis=-1).mean() > 0.999
 
 
 def test_occluded_packets_bit_identical():

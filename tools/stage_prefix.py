@@ -36,9 +36,12 @@ def make_upto(scene, uniform, cfg, state, ab_ascale=1):
             )
             if stage == "cull":
                 return draws.count.astype(jnp.float32)
+            inst_rec = None
+            if getattr(cfg, "fused_inst_rec", False):
+                inst_rec = resolve_pass._inst_rec_f16(scene)
             setup = raster_pass.triangle_setup(
                 scene.meshes, scene.instances, draws, camera, cfg,
-                materials=scene.materials,
+                materials=scene.materials, inst_rec=inst_rec,
             )
             if stage == "setup":
                 return setup["raster_rec"].sum()

@@ -126,15 +126,25 @@ def render_frame(
     # Pallas raster runs row-PARTITIONED under shard_map (each device bins
     # + rasterizes its own tile rows — parallel/sharding.py); the XLA twin
     # path shards only the output images.
+    inst_rec = None
+    if getattr(config, "fused_inst_rec", False):
+        if not (config.fused_resolve_rec
+                and getattr(config, "inst_rec_f16", False)):
+            raise ValueError(
+                "fused_inst_rec requires fused_resolve_rec + inst_rec_f16"
+            )
+        # f16 instance+material record folded into the resolve record at
+        # setup — resolve then runs with 2 per-pixel gathers, not 3
+        inst_rec = resolve_pass._inst_rec_f16(scene)
     if mesh is not None and config.backend == "pallas":
         vis = shard_mod.rasterize_sharded(
             scene.meshes, scene.instances, draws, camera, config, mesh,
-            materials=scene.materials,
+            materials=scene.materials, inst_rec=inst_rec,
         )
     else:
         vis = raster_pass.rasterize(
             scene.meshes, scene.instances, draws, camera, config,
-            materials=scene.materials,
+            materials=scene.materials, inst_rec=inst_rec,
         )
         if mesh is not None:
             vis = vis.replace(

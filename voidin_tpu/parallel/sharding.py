@@ -84,7 +84,7 @@ def replicated(mesh: Optional[Mesh], tree):
 
 
 def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
-                      materials=None):
+                      materials=None, inst_rec=None):
     """Row-PARTITIONED production raster under `shard_map`: each device
     bins and fine-rasterizes ONLY its own tile rows with the Pallas kernel
     (sort-middle parallel rasterization). Per-device raster work is 1/N by
@@ -139,7 +139,8 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
     track2 = config.alpha_mask
 
     draw_rec, n_tris, cum_draws = raster_pass.setup_draw_records(
-        meshes, instances, draws, camera, config, materials=materials
+        meshes, instances, draws, camera, config, materials=materials,
+        inst_rec=inst_rec,
     )
     tri_attr = meshes.tri_attr_packed if config.fused_resolve_rec else None
 

@@ -98,6 +98,19 @@ class RasterConfig:
     # coherence path (quad/slot/tap_block) is on. A/B on TPU before
     # enabling.
     planar_resolve: bool = False
+    # Fold the f16 fused instance+material record (resolve._inst_rec_f16)
+    # INTO the resolve record at setup time: the 12 u32 columns ride the
+    # per-draw record (one gather already paid per work item), so resolve
+    # drops from 3 to 2 per-pixel gathers (rec + albedo). Bit-exact with
+    # inst_rec_f16 (identical bits, different route —
+    # tests/test_raster.py). Requires fused_resolve_rec + inst_rec_f16;
+    # the renderer threads the instance table through
+    # rasterize(inst_rec=...). MEASURED SLOWER on TPU (AB_OPTIONS 08-19:
+    # all_lut_pi 69.9 vs all_lut_p 63.1 ms): the 144 B row leaves the
+    # flat-cost gather regime, costing more than the separate 96+48 B
+    # gathers it replaces. Kept as a swept option; the sweep won't pick
+    # it, and the row-count model alone must never enable it.
+    fused_inst_rec: bool = False
     # Coherence-aware resolve (resolve._quad_fetch): issue the three
     # per-pixel resolve row gathers once per UNIFORM 2x2 pixel quad
     # (neighbors usually hit the same triangle) and per-pixel only for
@@ -273,6 +286,7 @@ def setup_draw_records(
     camera,
     config: RasterConfig,
     materials=None,
+    inst_rec=None,
 ):
     """Setup phase A (per-DRAW, cheap): the fat per-draw record plus
     triangle counts and stream offsets.
@@ -312,18 +326,24 @@ def setup_draw_records(
     draw_start = jnp.concatenate(
         [jnp.zeros(1, jnp.float32), cum_draws[:-1].astype(jnp.float32)]
     )
-    draw_rec = jnp.concatenate(
-        [
-            mvp.reshape(-1, 16)[safe_inst],
-            (meshes.base_index[mesh_ids] // 3).astype(jnp.float32)[:, None],
-            meshes.base_index[mesh_ids].astype(jnp.float32)[:, None],
-            safe_inst.astype(jnp.float32)[:, None],
-            bc_w[:, None],
-            draw_start[:, None],
-            jnp.zeros((n_draws, 3), jnp.float32),
-        ],
-        axis=-1,
-    )  # (N, 24) f32
+    cols = [
+        mvp.reshape(-1, 16)[safe_inst],
+        (meshes.base_index[mesh_ids] // 3).astype(jnp.float32)[:, None],
+        meshes.base_index[mesh_ids].astype(jnp.float32)[:, None],
+        safe_inst.astype(jnp.float32)[:, None],
+        bc_w[:, None],
+        draw_start[:, None],
+        jnp.zeros((n_draws, 3), jnp.float32),
+    ]
+    if inst_rec is not None:
+        # RasterConfig.fused_inst_rec: the f16 fused instance+material
+        # record (12 u32, resolve._inst_rec_f16) rides the per-draw
+        # record — ONE work-item gather already serves it, so the resolve
+        # pass skips its per-pixel instance-record gather entirely.
+        cols.append(
+            jax.lax.bitcast_convert_type(inst_rec, jnp.float32)[safe_inst]
+        )
+    draw_rec = jnp.concatenate(cols, axis=-1)  # (N, 24|36) f32
     return draw_rec, n_tris, cum_draws
 
 
@@ -435,6 +455,10 @@ def setup_work_slice(
         resolve_cols.append(
             jax.lax.bitcast_convert_type(attr, jnp.float32)
         )
+        if draw_rec.shape[-1] >= 36:
+            # fused_inst_rec: the instance+material columns copied from
+            # the per-draw record (already gathered above as `rec`)
+            resolve_cols.append(rec[:, 24:36])
     resolve1 = jnp.concatenate(resolve_cols, axis=-1)
 
     # ONE packed 40 B row per slot serves the extras compaction downstream
@@ -574,6 +598,7 @@ def triangle_setup(
     camera,
     config: RasterConfig,
     materials=None,
+    inst_rec=None,
 ):
     """Per-work-item triangle screen data, packed records, capacity padded.
 
@@ -589,7 +614,8 @@ def triangle_setup(
     per-TEXEL albedo cutoff is handled downstream via second-candidate
     tracking (RasterConfig.alpha_mask) + resolve fallback."""
     draw_rec, n_tris, cum_draws = setup_draw_records(
-        meshes, instances, draws, camera, config, materials=materials
+        meshes, instances, draws, camera, config, materials=materials,
+        inst_rec=inst_rec,
     )
     parts = setup_work_slice(
         meshes.tri_pos,
@@ -930,10 +956,11 @@ def rasterize(
     camera,
     config: RasterConfig,
     materials=None,
+    inst_rec=None,
 ) -> VisBuffer:
     track2 = config.alpha_mask
     setup = triangle_setup(meshes, instances, draws, camera, config,
-                           materials=materials)
+                           materials=materials, inst_rec=inst_rec)
     tri_id2 = None
     H, W = config.height, config.width
     if config.backend == "pallas":

@@ -141,6 +141,13 @@ def _fetch_rows(scene: SceneData, vis: VisBuffer, tri_id,
                 "resolve.tri_attr",
             )
         ]  # (*S, 12) u32
+    if rec.shape[-1] >= 36:
+        # RasterConfig.fused_inst_rec: the f16 instance+material columns
+        # rode the resolve record from setup — zero extra gathers here.
+        # (Bit-identical to the inst_f16 gather: same u32 values, they
+        # just travel as bitcast f32 columns.)
+        irec = jax.lax.bitcast_convert_type(rec[..., 24:36], jnp.uint32)
+        return dict(rec=rec, pk=pk, irec=irec)
     inst = rec[..., 9].astype(jnp.int32)
     inst = checks.check_index(
         inst, scene.instances.count, "resolve.instance"
