@@ -98,6 +98,17 @@ AB_VARIANTS = {
         dict(fused_resolve_rec=True, inst_rec_f16=True,
              planar_resolve=True), True, 2, "on"
     ),
+    # slim_rec: ONE 96 B record row (clip + uv + world-space oct normals +
+    # 12xf16 material payload) — resolve drops to 2 gather rows/pixel
+    # (record + albedo tap) at the same 96 B width where the flat gather
+    # regime ends (CLAUDE.md round-4: 144 B fused rows measured SLOWER,
+    # row count AND width both matter). Image budget like inst_rec_f16
+    # (tests/test_resolve_slim.py); Renderer falls back to fused+f16 on
+    # scenes outside the envelope (normal maps / non-const emissive/mr /
+    # alpha masking).
+    "slim_p": (
+        dict(slim_rec=True, planar_resolve=True), True, 2, "on"
+    ),
     # fused_inst_rec folds the f16 instance+material record INTO the
     # resolve record at setup (rides the per-draw gather): resolve drops
     # from 3 to 2 per-pixel gathers. Bit-identical to inst_rec_f16
@@ -154,6 +165,7 @@ AB_VARIANTS = {
     ),
     "all": (dict(fused_resolve_rec=True, inst_rec_f16=True), True, 2, "off"),
     "lut_kernel": (dict(), False, 1, "on"),
+    "slim_solo": (dict(slim_rec=True), False, 1, "off"),
     "fused_rec": (dict(fused_resolve_rec=True), False, 1, "off"),
     "inst_f16": (dict(inst_rec_f16=True), False, 1, "off"),
     "ltc_bf16": (dict(), True, 1, "off"),

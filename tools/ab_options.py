@@ -33,6 +33,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated variant subset (e.g. base,all_lut_p,slim_p) "
+        "— a fresh container has an EMPTY jax compile cache, and a full "
+        "17-variant 1080p sweep costs hours of compiles; the incremental "
+        "writer + current-build stamp make a subset capture valid for "
+        "bench.tuned_options (it takes the min over measured entries)",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -75,6 +84,12 @@ def main():
     from bench import AB_VARIANTS, apply_ab_runtime_options, retry_transient
 
     variants = [(name, *opts) for name, opts in AB_VARIANTS.items()]
+    if args.only:
+        keep = [s.strip() for s in args.only.split(",") if s.strip()]
+        unknown = [k for k in keep if k not in AB_VARIANTS]
+        if unknown:
+            raise SystemExit(f"unknown variants: {unknown}")
+        variants = [v for v in variants if v[0] in keep]
     print(f"backend={backend}")
     results = {}
     for name, cfg_kw, bf16, ascale, lut in variants:

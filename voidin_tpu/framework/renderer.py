@@ -127,7 +127,12 @@ def render_frame(
     # + rasterizes its own tile rows — parallel/sharding.py); the XLA twin
     # path shards only the output images.
     inst_rec = None
-    if getattr(config, "fused_inst_rec", False):
+    if getattr(config, "slim_rec", False):
+        # slim_rec: the f16 instance record rides the draw record so setup
+        # can fold basis-transformed world normals + the material payload
+        # into the single 96 B slim resolve record (RasterConfig.slim_rec)
+        inst_rec = resolve_pass._inst_rec_f16(scene)
+    elif getattr(config, "fused_inst_rec", False):
         if not (config.fused_resolve_rec
                 and getattr(config, "inst_rec_f16", False)):
             raise ValueError(
@@ -272,6 +277,25 @@ class Renderer:
             # alpha-masked materials (visibility.wgsl:79-81 semantics)
             alpha_mask=getattr(scene, "alpha_masked", False),
         )
+        if getattr(self.config, "slim_rec", False):
+            # slim_rec only fits scenes with no normal maps, const-folded
+            # 1x1 emissive/mr textures, no alpha masking, and f16-exact
+            # pool ids; otherwise fall back to the equivalent general
+            # option set (fused record + f16 instance record) so a tuned
+            # variant stays applicable across presets.
+            slim_ok = (
+                getattr(scene, "no_normal_maps", False)
+                and getattr(scene, "emissive_const", False)
+                and getattr(scene, "mr_const", False)
+                and not getattr(scene, "alpha_masked", False)
+                and scene.materials.albedo.shape[0] <= 2048
+                and scene.textures.size.shape[0] <= 2048
+            )
+            if not slim_ok:
+                self.config = dataclasses.replace(
+                    self.config, slim_rec=False,
+                    fused_resolve_rec=True, inst_rec_f16=True,
+                )
         self.enable_taa = enable_taa
         self.state = FrameState.initial(self.config.width, self.config.height)
         self.moving_ids = jnp.asarray(

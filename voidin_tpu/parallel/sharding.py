@@ -142,7 +142,9 @@ def rasterize_sharded(meshes, instances, draws, camera, config, mesh,
         meshes, instances, draws, camera, config, materials=materials,
         inst_rec=inst_rec,
     )
-    tri_attr = meshes.tri_attr_packed if config.fused_resolve_rec else None
+    tri_attr = (meshes.tri_attr_packed
+                if (config.fused_resolve_rec
+                    or getattr(config, 'slim_rec', False)) else None)
 
     def body(draw_rec_, n_tris_, cum_draws_, tri_pos_, tri_attr_):
         d = jax.lax.axis_index(ROW_AXIS)

@@ -37,7 +37,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..core import fastmath
+from ..core import encoding, fastmath
 from ..ops import fine_raster as fr
 from ..scene.instance import InstanceData
 from ..scene.mesh import MeshPoolData
@@ -111,6 +111,23 @@ class RasterConfig:
     # gathers it replaces. Kept as a swept option; the sweep won't pick
     # it, and the row-count model alone must never enable it.
     fused_inst_rec: bool = False
+    # Slim single-row resolve record (96 B, 24 cols): clip x/y/w (9 f32) +
+    # corner uv (6 f32) + WORLD-space octahedral corner normals (3 u32,
+    # transformed by the instance basis at setup and re-encoded) + a 12xf16
+    # material payload (ids, texture extent, const emissive/mr, alpha).
+    # Resolve then issues ONE record gather + the albedo tap per pixel —
+    # 2 rows instead of all_lut_p's 3 — while staying at the 96 B width
+    # where the flat gather-rate regime ends (fused_inst_rec's 144 B rows
+    # measured SLOWER; this keeps the row-count win without the width
+    # penalty). IMAGE-BUDGET variant, not bit-exact: normals pay a second
+    # octahedral quantization and are interpolated after (not before) the
+    # basis transform — identical direction under uniform scale, ~1e-3
+    # deviation overall (tests/test_resolve_slim.py). Requires a scene
+    # with no normal maps, const-folded 1x1 emissive/metallic-roughness
+    # textures, and no alpha masking (the Renderer auto-falls-back to
+    # fused_resolve_rec + inst_rec_f16 otherwise). A/B on TPU before
+    # enabling.
+    slim_rec: bool = False
     # Coherence-aware resolve (resolve._quad_fetch): issue the three
     # per-pixel resolve row gathers once per UNIFORM 2x2 pixel quad
     # (neighbors usually hit the same triangle) and per-pixel only for
@@ -442,24 +459,72 @@ def setup_work_slice(
     # as f32 (exact < 2^24). Clip z is NOT stored: with the infinite
     # reverse-Z projection z_clip == znear (constant) and the homogeneous
     # barycentrics never read it. 48B rows gather ~25% faster than 64B.
-    resolve_cols = [
-        clip[:, :, jnp.array([0, 1, 3])].reshape(num, 9),
-        inst.astype(jnp.float32)[:, None],
-        idx_start.astype(jnp.float32)[:, None],
-        jnp.zeros((num, 1), jnp.float32),
-    ]
-    if config.fused_resolve_rec:
-        # fold the corner-attribute row in (one setup-time gather per work
-        # item buys resolve one fewer per-pixel big-table gather)
-        attr = tri_attr_packed[jnp.where(valid, tri_pool, 0)]
-        resolve_cols.append(
-            jax.lax.bitcast_convert_type(attr, jnp.float32)
-        )
-        if draw_rec.shape[-1] >= 36:
-            # fused_inst_rec: the instance+material columns copied from
-            # the per-draw record (already gathered above as `rec`)
-            resolve_cols.append(rec[:, 24:36])
-    resolve1 = jnp.concatenate(resolve_cols, axis=-1)
+    if getattr(config, "slim_rec", False):
+        # Slim 24-col record (see RasterConfig.slim_rec): everything the
+        # dense resolve needs in ONE 96 B row. Corner normals go to world
+        # space HERE (at record rate, ~4x below pixel rate) so the 9-col
+        # instance basis never has to reach resolve; the 12xf16 payload
+        # carries the material scalars the fused instance record would
+        # have supplied (resolve._inst_rec column order).
+        if draw_rec.shape[-1] < 36:
+            raise ValueError(
+                "slim_rec needs the f16 instance record threaded through "
+                "the draw record (rasterize(inst_rec=...))"
+            )
+        attr = tri_attr_packed[jnp.where(valid, tri_pool, 0)]  # (num,12) u32
+        irec = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(rec[:, 24:36], jnp.uint32),
+            jnp.float16,
+        ).reshape(num, 24).astype(jnp.float32)
+        basis = irec[:, :9].reshape(num, 1, 3, 3)
+        n_c = encoding.decode_octahedral_32(attr[:, 6:9])  # (num, 3, 3)
+        n_ws = fastmath.mat3_vec(basis, n_c)  # world-space corner normals
+        n_enc = encoding.encode_octahedral_32(n_ws)  # (num, 3) u32
+        pay = jnp.stack(
+            [
+                irec[:, 9],  # material id
+                irec[:, 10],  # albedo texture id
+                irec[:, 15],  # albedo tex width
+                irec[:, 16],  # albedo tex height
+                irec[:, 17], irec[:, 18], irec[:, 19],  # const emissive rgb
+                irec[:, 20], irec[:, 21], irec[:, 22], irec[:, 23],  # mr
+                irec[:, 12],  # base_color.a
+            ],
+            axis=-1,
+        ).astype(jnp.float16)  # (num, 12)
+        resolve1 = jnp.concatenate(
+            [
+                clip[:, :, jnp.array([0, 1, 3])].reshape(num, 9),
+                jax.lax.bitcast_convert_type(attr[:, 0:6], jnp.float32),
+                jax.lax.bitcast_convert_type(n_enc, jnp.float32),
+                jax.lax.bitcast_convert_type(
+                    jax.lax.bitcast_convert_type(
+                        pay.reshape(num, 6, 2), jnp.uint32
+                    ),
+                    jnp.float32,
+                ),
+            ],
+            axis=-1,
+        )  # (num, 24)
+    else:
+        resolve_cols = [
+            clip[:, :, jnp.array([0, 1, 3])].reshape(num, 9),
+            inst.astype(jnp.float32)[:, None],
+            idx_start.astype(jnp.float32)[:, None],
+            jnp.zeros((num, 1), jnp.float32),
+        ]
+        if config.fused_resolve_rec:
+            # fold the corner-attribute row in (one setup-time gather per
+            # work item buys resolve one fewer per-pixel big-table gather)
+            attr = tri_attr_packed[jnp.where(valid, tri_pool, 0)]
+            resolve_cols.append(
+                jax.lax.bitcast_convert_type(attr, jnp.float32)
+            )
+            if draw_rec.shape[-1] >= 36:
+                # fused_inst_rec: the instance+material columns copied from
+                # the per-draw record (already gathered above as `rec`)
+                resolve_cols.append(rec[:, 24:36])
+        resolve1 = jnp.concatenate(resolve_cols, axis=-1)
 
     # ONE packed 40 B row per slot serves the extras compaction downstream
     # (sx2/sy2/z2/alive2 in one gather — row-rate bound, width nearly
@@ -619,7 +684,9 @@ def triangle_setup(
     )
     parts = setup_work_slice(
         meshes.tri_pos,
-        meshes.tri_attr_packed if config.fused_resolve_rec else None,
+        meshes.tri_attr_packed
+        if (config.fused_resolve_rec or getattr(config, 'slim_rec', False))
+        else None,
         draw_rec,
         n_tris,
         cum_draws,

@@ -119,7 +119,7 @@ def _inst_rec_f16(scene: SceneData):
 
 
 def _fetch_rows(scene: SceneData, vis: VisBuffer, tri_id,
-                inst_f16: bool = False):
+                inst_f16: bool = False, slim: bool = False):
     """The resolve pass's per-pixel GATHERS, separated from the math so the
     quad-rate path (_quad_fetch) can issue them at 2x2-quad rate: raw row
     tables for an arbitrary pixel-set shape S. Keys:
@@ -131,6 +131,11 @@ def _fetch_rows(scene: SceneData, vis: VisBuffer, tri_id,
     rec = vis.resolve_rec[
         checks.check_index(tid, vis.resolve_rec.shape[0], "resolve.rec")
     ]
+    if slim:
+        # RasterConfig.slim_rec: ONE 96 B row carries everything (clip,
+        # uv, world-space normals, f16 material payload) — the frame's
+        # only other per-pixel gather is the albedo tap.
+        return dict(rec=rec)
     if rec.shape[-1] >= 24:
         pk = jax.lax.bitcast_convert_type(rec[..., 12:24], jnp.uint32)
     else:
@@ -210,6 +215,27 @@ def _quad_fetch(scene: SceneData, vis: VisBuffer, tri_id,
             rows_e[k], mode="drop"
         ).reshape(dense[k].shape)
     return dense, jnp.maximum(count - F, 0)
+
+
+def _decode_slim_channels(rows):
+    """Slim-record decode (RasterConfig.slim_rec): cl/uv read straight off
+    the f32 columns, corner normals are ALREADY world-space oct32 (cols
+    15:18), and the 12xf16 payload (cols 18:24) carries the material
+    scalars — no instance record, no tangents (slim requires a scene with
+    no normal maps)."""
+    rec = rows["rec"]
+    S = rec.shape[:-1]
+    n_u32 = jax.lax.bitcast_convert_type(rec[..., 15:18], jnp.uint32)
+    n_c = encoding.decode_octahedral_32(n_u32)  # (*S, 3, 3)
+    pay = jax.lax.bitcast_convert_type(
+        rec[..., 18:24], jnp.float16
+    ).reshape(S + (12,)).astype(jnp.float32)
+    return dict(
+        cl=rec[..., :9],
+        uv_c=rec[..., 9:15],
+        n_c=n_c.reshape(S + (9,)),
+        pay=pay,
+    )
 
 
 def _decode_channels(rows, inst_f16: bool = False, tangents: bool = True):
@@ -361,7 +387,7 @@ def _slot_fetch_channels(scene: SceneData, vis: VisBuffer, tri_id,
 def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
                   x_ndc, y_ndc, want_aux: bool = True, lod_probe=None,
                   inst_f16: bool = False, rows=None, tap_block_cap=None,
-                  channels=None):
+                  channels=None, slim: bool = False):
     """Core per-pixel resolve for an arbitrary pixel-set shape S.
 
     tri_id/depth: shape S (raw ids, -1 = background). x_ndc/y_ndc: NDC
@@ -377,8 +403,10 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
     hit = tri_id >= 0
     if channels is None:
         if rows is None:
-            rows = _fetch_rows(scene, vis, tri_id, inst_f16)
-        channels = _decode_channels(rows, inst_f16)
+            rows = _fetch_rows(scene, vis, tri_id, inst_f16, slim=slim)
+        channels = (_decode_slim_channels(rows) if slim
+                    else _decode_channels(rows, inst_f16))
+    slim = "pay" in channels
 
     cl = channels["cl"].reshape(S + (3, 3))
 
@@ -405,26 +433,39 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
         tangent_raw = tangent_w = None
     uv = jnp.sum(uv_c * lam_p[..., None], axis=-2)
 
-    irec = channels["irec"]  # (*S, 24)
-    basis = irec[..., :9].reshape(S + (3, 3))
-    material_id = irec[..., 9].astype(jnp.int32)
-    mat_albedo = irec[..., 10].astype(jnp.int32)
-    mat_normal = irec[..., 11].astype(jnp.int32)
-    base_color_a = irec[..., 12]
+    if slim:
+        # slim_rec: corner normals were transformed to world space at
+        # setup; the f16 payload supplies the material scalars directly.
+        pay = channels["pay"]  # (*S, 12)
+        material_id = pay[..., 0].astype(jnp.int32)
+        mat_albedo = pay[..., 1].astype(jnp.int32)
+        base_color_a = pay[..., 11]
+        n_ws = normal_raw
+        tex_w = pay[..., 2]
+        tex_h = pay[..., 3]
+        if not getattr(scene, "no_normal_maps", False):
+            raise ValueError("slim_rec requires a scene with no normal maps")
+    else:
+        irec = channels["irec"]  # (*S, 24)
+        basis = irec[..., :9].reshape(S + (3, 3))
+        material_id = irec[..., 9].astype(jnp.int32)
+        mat_albedo = irec[..., 10].astype(jnp.int32)
+        mat_normal = irec[..., 11].astype(jnp.int32)
+        base_color_a = irec[..., 12]
 
-    # Object -> world with the plain upper 3x3 (reference parity).
-    n_ws = fastmath.mat3_vec(basis, normal_raw)
-    if tangent_raw is not None:
-        t_ws = fastmath.mat3_vec(basis, tangent_raw)
-        b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
-    elif not getattr(scene, "no_normal_maps", False):
-        raise ValueError(
-            "tangent channels were pruned but the scene has normal maps"
-        )
+        # Object -> world with the plain upper 3x3 (reference parity).
+        n_ws = fastmath.mat3_vec(basis, normal_raw)
+        if tangent_raw is not None:
+            t_ws = fastmath.mat3_vec(basis, tangent_raw)
+            b_ws = jnp.cross(n_ws, t_ws) * tangent_w[..., None]
+        elif not getattr(scene, "no_normal_maps", False):
+            raise ValueError(
+                "tangent channels were pruned but the scene has normal maps"
+            )
 
-    # Mip LOD (texture extent rides the fused instance record).
-    tex_w = irec[..., 15]
-    tex_h = irec[..., 16]
+        # Mip LOD (texture extent rides the fused instance record).
+        tex_w = irec[..., 15]
+        tex_h = irec[..., 16]
     if lod_probe is None:
         lod = uv_lod(uv, tex_w, tex_h)
     else:
@@ -508,6 +549,18 @@ def _pixel_fields(scene: SceneData, vis: VisBuffer, tri_id, depth,
     #   quantization rather than use the exact uv.
     mats = scene.materials
     out["albedo"] = jnp.where(keep[..., None], albedo, jnp.ones_like(albedo))
+    if slim:
+        if not (scene.emissive_const and scene.mr_const):
+            raise ValueError(
+                "slim_rec requires const-folded emissive/metallic-roughness"
+            )
+        out["emissive"] = jnp.where(
+            keep[..., None], pay[..., 4:7], mats.emissive_rgba[0, :3]
+        )
+        out["mr"] = jnp.where(
+            keep[..., None], pay[..., 7:11], mats.mr_rgba[0]
+        )
+        return out
     mat_emissive = irec[..., 13].astype(jnp.int32)
     mat_mr = irec[..., 14].astype(jnp.int32)
     if not (scene.emissive_const and scene.mr_const):
@@ -632,35 +685,54 @@ def _uv_lod_planar(u, v, tex_w, tex_h):
 
 def _pixel_fields_planar(scene: SceneData, vis: VisBuffer, tri_id, depth,
                          x_ndc, y_ndc, want_aux: bool = True,
-                         inst_f16: bool = False):
+                         inst_f16: bool = False, slim: bool = False):
     """Channel-major twin of `_pixel_fields` for the dense (H, W) path
     (image-space lod, no coherence machinery). Bit-exact by construction:
     every multiply-add appears in the same order as the vector form."""
     S = tri_id.shape
     hit = tri_id >= 0
-    rows = _fetch_rows(scene, vis, tri_id, inst_f16)
+    rows = _fetch_rows(scene, vis, tri_id, inst_f16, slim=slim)
 
     rec_p = _planar(rows["rec"])
-    pk_p = _planar(rows["pk"])
-    if inst_f16:
-        irec_p = []
-        for j in range(12):
-            pair = jax.lax.bitcast_convert_type(
-                rows["irec"][..., j], jnp.float16)  # (*S, 2) f16
-            irec_p.append(pair[..., 0].astype(jnp.float32))
-            irec_p.append(pair[..., 1].astype(jnp.float32))
-    else:
-        irec_p = _planar(rows["irec"])
-
-    cl = rec_p[:9]  # vertex-major: cl[3*i + j], j in (x, y, w)
-    uv_c = [jax.lax.bitcast_convert_type(pk_p[k], jnp.float32)
-            for k in range(6)]
-    n_c = [_decode_oct_planar(pk_p[6 + i]) for i in range(3)]  # [(x,y,z)]*3
     no_nmaps = getattr(scene, "no_normal_maps", False)
-    if not no_nmaps:
-        t_sign = [1.0 - 2.0 * (pk_p[9 + i] & jnp.uint32(1)).astype(
-            jnp.float32) for i in range(3)]
-        t_c = [_decode_oct_planar(pk_p[9 + i]) for i in range(3)]
+    if slim:
+        # slim_rec planar decode: uv/clip straight off the f32 planes,
+        # world-space oct32 corner normals, 12xf16 payload -> 12 planes.
+        if not no_nmaps:
+            raise ValueError("slim_rec requires a scene with no normal maps")
+        cl = rec_p[:9]
+        uv_c = rec_p[9:15]
+        n_c = [
+            _decode_oct_planar(
+                jax.lax.bitcast_convert_type(rec_p[15 + i], jnp.uint32)
+            )
+            for i in range(3)
+        ]
+        pay_p = []
+        for j in range(6):
+            pair = jax.lax.bitcast_convert_type(rec_p[18 + j], jnp.float16)
+            pay_p.append(pair[..., 0].astype(jnp.float32))
+            pay_p.append(pair[..., 1].astype(jnp.float32))
+    else:
+        pk_p = _planar(rows["pk"])
+        if inst_f16:
+            irec_p = []
+            for j in range(12):
+                pair = jax.lax.bitcast_convert_type(
+                    rows["irec"][..., j], jnp.float16)  # (*S, 2) f16
+                irec_p.append(pair[..., 0].astype(jnp.float32))
+                irec_p.append(pair[..., 1].astype(jnp.float32))
+        else:
+            irec_p = _planar(rows["irec"])
+
+        cl = rec_p[:9]  # vertex-major: cl[3*i + j], j in (x, y, w)
+        uv_c = [jax.lax.bitcast_convert_type(pk_p[k], jnp.float32)
+                for k in range(6)]
+        n_c = [_decode_oct_planar(pk_p[6 + i]) for i in range(3)]
+        if not no_nmaps:
+            t_sign = [1.0 - 2.0 * (pk_p[9 + i] & jnp.uint32(1)).astype(
+                jnp.float32) for i in range(3)]
+            t_c = [_decode_oct_planar(pk_p[9 + i]) for i in range(3)]
 
     def bary(xn, yn):
         u = [cl[3 * i + 0] - xn * cl[3 * i + 2] for i in range(3)]
@@ -682,18 +754,25 @@ def _pixel_fields_planar(scene: SceneData, vis: VisBuffer, tri_id, depth,
     u_pl = interp([uv_c[0], uv_c[2], uv_c[4]])
     v_pl = interp([uv_c[1], uv_c[3], uv_c[5]])
 
-    basis = irec_p[:9]  # row-major basis[3*i + j]
+    if slim:
+        n_ws = normal_raw  # corners already world-space (setup transform)
+        material_id = pay_p[0].astype(jnp.int32)
+        mat_albedo = pay_p[1].astype(jnp.int32)
+        base_color_a = pay_p[11]
+        tex_w, tex_h = pay_p[2], pay_p[3]
+    else:
+        basis = irec_p[:9]  # row-major basis[3*i + j]
 
-    def mat3v(vec):
-        return [basis[3 * i + 0] * vec[0] + basis[3 * i + 1] * vec[1]
-                + basis[3 * i + 2] * vec[2] for i in range(3)]
+        def mat3v(vec):
+            return [basis[3 * i + 0] * vec[0] + basis[3 * i + 1] * vec[1]
+                    + basis[3 * i + 2] * vec[2] for i in range(3)]
 
-    n_ws = mat3v(normal_raw)
-    material_id = irec_p[9].astype(jnp.int32)
-    mat_albedo = irec_p[10].astype(jnp.int32)
-    mat_normal = irec_p[11].astype(jnp.int32)
-    base_color_a = irec_p[12]
-    tex_w, tex_h = irec_p[15], irec_p[16]
+        n_ws = mat3v(normal_raw)
+        material_id = irec_p[9].astype(jnp.int32)
+        mat_albedo = irec_p[10].astype(jnp.int32)
+        mat_normal = irec_p[11].astype(jnp.int32)
+        base_color_a = irec_p[12]
+        tex_w, tex_h = irec_p[15], irec_p[16]
 
     lod = _uv_lod_planar(u_pl, v_pl, tex_w, tex_h)
     uv_img = jnp.stack([u_pl, v_pl], axis=-1)
@@ -745,6 +824,20 @@ def _pixel_fields_planar(scene: SceneData, vis: VisBuffer, tri_id, depth,
     mats = scene.materials
     out["albedo"] = jnp.where(keep[..., None], albedo,
                               jnp.ones_like(albedo))
+    if slim:
+        if not (scene.emissive_const and scene.mr_const):
+            raise ValueError(
+                "slim_rec requires const-folded emissive/metallic-roughness"
+            )
+        out["emissive"] = jnp.where(
+            keep[..., None], jnp.stack(pay_p[4:7], axis=-1),
+            mats.emissive_rgba[0, :3],
+        )
+        out["mr"] = jnp.where(
+            keep[..., None], jnp.stack(pay_p[7:11], axis=-1),
+            mats.mr_rgba[0],
+        )
+        return out
     mat_emissive = irec_p[13].astype(jnp.int32)
     mat_mr = irec_p[14].astype(jnp.int32)
     if not (scene.emissive_const and scene.mr_const):
@@ -855,6 +948,11 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
             "exclusive: the coherence paths re-split the fused record's "
             "gathers"
         )
+    slim = getattr(config, "slim_rec", False)
+    if slim and (quad or slot):
+        raise ValueError(
+            "slim_rec and quad/slot_rate_resolve are mutually exclusive"
+        )
     quad_cap = getattr(config, "quad_edge_capacity", 0)
     slot_cap = getattr(config, "slot_edge_capacity", 0)
     slot_k = getattr(config, "slot_k", 16)
@@ -876,7 +974,7 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
         if planar:
             return _pixel_fields_planar(
                 scene, vis, tri_id, depth, x_ndc, y_ndc,
-                want_aux=want_aux, inst_f16=f16,
+                want_aux=want_aux, inst_f16=f16, slim=slim,
             )
         rows = None
         channels = None
@@ -892,7 +990,8 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
             quad_ovf = quad_ovf + ovf
         f = _pixel_fields(scene, vis, tri_id, depth, x_ndc, y_ndc,
                           want_aux=want_aux, inst_f16=f16, rows=rows,
-                          tap_block_cap=tap_cap, channels=channels)
+                          tap_block_cap=tap_cap, channels=channels,
+                          slim=slim)
         if "tap_overflow" in f:
             quad_ovf = quad_ovf + f.pop("tap_overflow")
         return f
@@ -933,7 +1032,8 @@ def resolve_gbuffer(scene: SceneData, vis: VisBuffer, camera, config):
     xb = (fx + 0.5) / W * 2.0 - 1.0
     yb = 1.0 - (fy + 0.5) / H * 2.0
     fb = _pixel_fields(scene, vis, tid2, dep2, xb, yb,
-                       lod_probe=(2.0 / W, 2.0 / H), inst_f16=f16)
+                       lod_probe=(2.0 / W, 2.0 / H), inst_f16=f16,
+                       slim=slim)
     rows = _pack_fallback_rows(fb)
 
     buf = jnp.zeros((H * W, _FB_F), jnp.uint32)
