@@ -15,18 +15,23 @@ The variant list lives in bench.AB_VARIANTS; bench.py applies the winner
 from AB_OPTIONS.json to the official north-star run.
 
 Usage: python -u tools/ab_options.py [--cpu]
-Honest timing only via tools/tpu_timeit.slope_time (block_until_ready is
-a no-op on the axon tunnel).
+
+Measurement contract (round-5 reconciliation, VERDICT r4 Weak #1): each
+variant is timed by driving the PRODUCTION `Renderer.render` loop — the
+same jitted program, same slimmed output pytree (img + TAA state +
+instances + scalar aux), same donation — with the same two-point slope
+bench.py uses. The round-4 sweep timed an `img.sum()`-only closure whose
+state/scene/aux outputs XLA dead-code-eliminated, so it optimized a
+different program than bench shipped (58.5 ms sweep vs 99.2 ms official).
 """
 
 import argparse
 import dataclasses
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from tools.tpu_timeit import slope_time  # noqa: E402
 
 
 def main():
@@ -42,6 +47,11 @@ def main():
         "bench.tuned_options (it takes the min over measured entries)",
     )
     ap.add_argument(
+        "--smoke", action="store_true",
+        help="tiny-scale CPU wiring check (320x184, 300 instances) — "
+        "drives the exact sweep loop in minutes; NEVER writes AB_OPTIONS",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -52,32 +62,34 @@ def main():
 
     import jax
 
-    if args.cpu:
+    if args.cpu or args.smoke:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
-    import jax.numpy as jnp
-
     import voidin_tpu as vt
     from bench import build_world
-    from voidin_tpu.framework.renderer import (
-        FrameState, Globals, render_frame,
-    )
+    from voidin_tpu.framework.renderer import Renderer
     from voidin_tpu.passes import shading
     from voidin_tpu.passes.raster import RasterConfig
 
     backend = jax.default_backend()
-    world, moving = build_world()
+    world, moving = build_world(n_instances=300 if args.smoke else 10_000)
     scene = world.device()
-    cfg0 = RasterConfig(
-        width=1920, height=1080, tri_capacity=1 << 19,
-        pair_capacity=1 << 19, tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15,
-        interpret=backend == "cpu",
-    )
+    if args.smoke:
+        cfg0 = RasterConfig(
+            width=320, height=184, tri_capacity=1 << 14,
+            pair_capacity=1 << 14, tile_tri_capacity=128,
+            quad_edge_capacity=1 << 10, taa_edge_capacity=1 << 10,
+            tap_edge_capacity=1 << 10, interpret=True,
+        )
+        args.out = "/tmp/ab_smoke.json"
+    else:
+        cfg0 = RasterConfig(
+            width=1920, height=1080, tri_capacity=1 << 19,
+            pair_capacity=1 << 19, tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15,
+            interpret=backend == "cpu",
+        )
     cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
-                    aspect=1920 / 1080).uniform()
-    state = FrameState.initial(cfg0.width, cfg0.height)
-    moving_j = jnp.asarray(moving)
-    g = Globals.make(cfg0.width, cfg0.height, frame=1, time=1.0, dt=0.0)
+                    aspect=cfg0.width / cfg0.height)
 
     # Single source of truth: bench.AB_VARIANTS (bench.tuned_options applies
     # the winner this sweep finds).
@@ -96,19 +108,28 @@ def main():
         cfg = dataclasses.replace(cfg0, **cfg_kw)
         apply_ab_runtime_options(bf16, ascale, lut, backend)
         try:
-            def f(eps):
-                camera = cam.replace(znear=cam.znear + eps)
-                img, _st, _sc, _aux = render_frame(
-                    scene, camera, g, state, moving_j, cfg,
-                    area_light_scale=ascale,
-                )
-                return img.sum()
+            # the PRODUCTION program: Renderer.render's jitted frame with
+            # the slimmed output pytree + donation — identical to what
+            # bench.py times for the official number
+            r = Renderer(scene, cfg, moving_ids=moving,
+                         area_light_scale=ascale)
 
-            jf = jax.jit(f)
+            def measure():
+                img = r.render(cam)  # compile + warm
+                _ = float(img.sum())
+                n1, n2 = (1, 9) if backend != "cpu" else (1, 3)
+                times = {}
+                for n in (n1, n2):
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        img = r.render(cam, dt=1 / 60)
+                    _ = float(img.sum())  # device->host: the only real sync
+                    times[n] = time.perf_counter() - t0
+                return (times[n2] - times[n1]) / (n2 - n1) * 1000.0
+
             # the tunnel throws transient 'Internal' flakes (CLAUDE.md) —
             # retry before recording a variant as failed
-            ms = retry_transient(lambda: slope_time(jf), attempts=3,
-                                 label=f"ab {name}")
+            ms = retry_transient(measure, attempts=3, label=f"ab {name}")
         except Exception as e:  # a variant that fails to compile (e.g. a
             # Mosaic limitation in an unproven kernel) must not kill the
             # rest of the sweep; tuned_options ignores non-numeric entries
@@ -141,7 +162,8 @@ def _write(path, backend, results):
             {
                 "backend": backend,
                 "scene": "north-star 10k instances 1080p",
-                "method": "tools/tpu_timeit.slope_time",
+                "method": "production Renderer.render two-point slope "
+                          "(same program bench.py ships)",
                 # definition stamp: bench.tuned_options refuses captures
                 # whose variant definitions differ from the current build
                 "variants": ab_variants_stamp(),

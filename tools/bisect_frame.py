@@ -115,34 +115,51 @@ def main():
         return render_frame(sc, cam_u, g, st, mov, cfg,
                             area_light_scale=ab_ascale)
 
-    for label, jit_kwargs in (
-        ("render_frame (donate)", dict(donate_argnums=(0, 3))),
-        ("render_frame (nodonate)", {}),
-    ):
-        f = jax.jit(whole, **jit_kwargs)
+    # legacy full-output program: quantifies the output-materialization
+    # tail the production path eliminated (round-4 reconciliation)
+    f = jax.jit(whole)
 
-        def run(n, sc, st):
-            eps = jnp.float32(0.0)
-            for i in range(n):
-                g = Globals.make(cfg.width, cfg.height, frame=i,
-                                 time=1.0, dt=eps)
-                img, st, sc, aux = f(sc, uniform, g, st, moving_j)
-                eps = img.ravel()[0] * 0
-            return float(eps), sc, st
+    def run(n, sc, st):
+        eps = jnp.float32(0.0)
+        for i in range(n):
+            g = Globals.make(cfg.width, cfg.height, frame=i,
+                             time=1.0, dt=eps)
+            img, st, sc, aux = f(sc, uniform, g, st, moving_j)
+            eps = img.ravel()[0] * 0
+        return float(eps), sc, st
 
-        # deep copies: the donate variant deletes its input buffers
-        sc = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), scene)
-        st = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
-        _, sc, st = run(1, sc, st)  # compile
+    sc = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), scene)
+    st = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+    _, sc, st = run(1, sc, st)  # compile
+    t0 = _time.perf_counter()
+    _, sc, st = run(1, sc, st)
+    ta = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    _, sc, st = run(5, sc, st)
+    tb = _time.perf_counter() - t0
+    ms = (tb - ta) / 4 * 1000.0
+    print(f"{'render_frame (full outputs)':28s} {ms:8.2f} ms")
+    marginals["render_frame (full outputs)"] = round(ms, 3)
+
+    # the PRODUCTION program (slimmed outputs + donation), via Renderer —
+    # the same jitted fn bench.py's official number times
+    from voidin_tpu.framework.renderer import Renderer
+
+    cam_obj = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
+                        aspect=1920 / 1080)
+    r = Renderer(scene, cfg, moving_ids=moving, area_light_scale=ab_ascale)
+    img = r.render(cam_obj)
+    _ = float(img.sum())
+    times = {}
+    for n in (1, 5):
         t0 = _time.perf_counter()
-        _, sc, st = run(1, sc, st)
-        ta = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
-        _, sc, st = run(5, sc, st)
-        tb = _time.perf_counter() - t0
-        ms = (tb - ta) / 4 * 1000.0
-        print(f"{label:26s} {ms:8.2f} ms")
-        marginals[label] = round(ms, 3)
+        for _ in range(n):
+            img = r.render(cam_obj, dt=1 / 60)
+        _ = float(img.sum())
+        times[n] = _time.perf_counter() - t0
+    ms = (times[5] - times[1]) / 4 * 1000.0
+    print(f"{'render_frame (production)':28s} {ms:8.2f} ms")
+    marginals["render_frame (production)"] = round(ms, 3)
 
     if args.out:
         import json
