@@ -431,6 +431,7 @@ def run_preset(n, profile=False, rt_scale=0, ab=True):
         taa_edge_capacity=p.taa_edge_capacity,
         tap_edge_capacity=p.tap_edge_capacity,
         rt_packet=p.rt_packet,
+        rt_threaded=p.rt_threaded,
         interpret=backend == "cpu",
         **ab_cfg,
     )

@@ -51,6 +51,10 @@ def main():
         tri_capacity=1 << 16,
         pair_capacity=1 << 18,
         tile_tri_capacity=128,
+        # production config-5 traversal: threaded (stackless) 8x16
+        # screen-block packets — bit-exact with the per-ray loop
+        rt_packet=128,
+        rt_threaded=True,
     )
     import jax
 

@@ -308,6 +308,10 @@ def test_shade_raytraced_packet_bit_identical():
     base = frame(cfg)
     pk = frame(dataclasses.replace(cfg, rt_packet=64))
     np.testing.assert_array_equal(base, pk)
+    # threaded (stackless) traversal over 8x16 screen blocks — config-5's
+    # production setting — must also not change a pixel
+    th = frame(dataclasses.replace(cfg, rt_packet=128, rt_threaded=True))
+    np.testing.assert_array_equal(base, th)
     # the scene must be non-trivially lit/shadowed for this to mean much
     # (0-1 sRGB floats: the knot-over-plane frame measures ~0.14)
     assert base.std() > 0.05

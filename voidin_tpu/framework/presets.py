@@ -60,6 +60,9 @@ class Preset:
     # Packet traversal size for raytraced-shadow presets (bit-exact; see
     # RasterConfig.rt_packet). 0 = per-ray lock-step loop.
     rt_packet: int = 0
+    # Threaded (stackless exit-link) traversal over 8x16 screen-block
+    # packets — bit-exact with the stack path (RasterConfig.rt_threaded).
+    rt_threaded: bool = False
     # Per-frame (J, 4, 4) joint matrices for skinned scenes (config 4's
     # clapping skinned geometry — beyond reference parity).
     animator: Optional[object] = None
@@ -310,8 +313,11 @@ def config5_raytraced_shadows(aspect: float) -> Preset:
         quad_edge_capacity=1 << 16,
         taa_edge_capacity=1 << 10,
         # ~2M coherent shadow rays at 1080p: the per-ray lock-step loop
-        # gathers ~11 rows/ray/step; packets make full-res feasible
+        # gathers ~11 rows/ray/step; packets make full-res feasible, and
+        # the threaded (stackless) variant drops the per-step stack
+        # scatters — the dominant hardware cost (round 5)
         rt_packet=128,
+        rt_threaded=True,
     )
 
 

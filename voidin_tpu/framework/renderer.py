@@ -195,6 +195,7 @@ def render_frame(
                 scene, gbuffer, camera, aux=aux_r,
                 shadow_scale=rt_shadow_scale,
                 rt_packet=getattr(config, "rt_packet", 0),
+                rt_threaded=getattr(config, "rt_threaded", False),
             )
         else:
             hdr = shading_pass.shade(

@@ -154,6 +154,12 @@ class RasterConfig:
     # once per ray. BIT-EXACT (tests/test_traverse.py); 0 = per-ray
     # lock-step loop.
     rt_packet: int = 0
+    # Threaded (stackless) packet traversal (rt.traverse.
+    # occluded_threaded): exit links replace the per-step stack scatters,
+    # and packets are 8x16 SCREEN BLOCKS (not 128x1 row strips) so the
+    # union of lane paths stays tight. BIT-EXACT
+    # (tests/test_traverse_threaded.py). Requires rt_packet == 128.
+    rt_threaded: bool = False
     # Quad-rate albedo tap (texture.sample_trilinear_quadblock): two 4x4
     # block rows per uniform 2x2 pixel quad instead of four 32 B quad
     # rows. Bit-exact (tests/test_texture_meta.py); edge quads (texture/

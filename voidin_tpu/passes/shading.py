@@ -514,9 +514,48 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None,
     return jnp.maximum(color, 0.0)
 
 
+def _trace_occlusion_blocks(
+    trav, tables, pos_g, nor_g, lpos, act_g, max_steps, ray_chunk,
+    max_leaf, bh=8, bw=16,
+):
+    """Threaded traversal over 8x16 SCREEN-BLOCK packets. Row-strip packets
+    (reshape(-1) order) span 128x1 pixels; a 8x16 block's rays share far
+    more of the tree, so the packet-union path is shorter. Per-ray results
+    are independent of packet grouping — bit-exact either way."""
+    table, n_tlas, inst_rows, tri_pos = tables
+    h, w = act_g.shape
+    ph, pw = (-h) % bh, (-w) % bw
+    o_g = pos_g + nor_g * 1e-4
+    d_g = lpos - pos_g
+    if ph or pw:
+        o_g = jnp.pad(o_g, ((0, ph), (0, pw), (0, 0)))
+        d_g = jnp.pad(d_g, ((0, ph), (0, pw), (0, 0)))
+        act_g = jnp.pad(act_g, ((0, ph), (0, pw)))
+    hb, wb = (h + ph) // bh, (w + pw) // bw
+
+    def blocks(x):
+        x = x.reshape((hb, bh, wb, bw) + x.shape[2:])
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape((hb * wb, bh * bw) + x.shape[4:])
+
+    P = bh * bw
+    res = trav.occluded_threaded(
+        table, n_tlas, inst_rows, tri_pos,
+        blocks(o_g).reshape(-1, 3), blocks(d_g).reshape(-1, 3),
+        t_max=1.0, max_steps=max_steps,
+        active=blocks(act_g).reshape(-1),
+        packet=P, chunk_packets=max(ray_chunk // P, 1),
+        max_leaf=max_leaf,
+    )
+    hit = res.hit.reshape(hb, wb, bh, bw)
+    hit = jnp.swapaxes(hit, 1, 2).reshape(hb * bh, wb * bw)
+    return hit[:h, :w]
+
+
 def shade_raytraced(
     scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512,
     ray_chunk=1 << 16, aux=None, shadow_scale=1, rt_packet=0,
+    rt_threaded=False,
 ) -> jnp.ndarray:
     """Deferred shading with TLAS-traced point-light shadows.
 
@@ -558,7 +597,11 @@ def shade_raytraced(
     color = albedo[..., :3] * 0.3 + emissive
     color = jnp.where(is_light[..., None], albedo[..., :3] + emissive, color)
 
-    tlas, blas, inst, tri_pos = trav.scene_rays(scene)
+    if rt_threaded:
+        tables_th = trav.scene_rays_threaded(scene)
+        max_leaf = scene.meshes.bvh_max_leaf
+    else:
+        tlas, blas, inst, tri_pos = trav.scene_rays(scene)
     lights = scene.lights
     shadable = (depth > 0.0) & ~is_light
     for i in range(lights.point_radius.shape[0]):
@@ -583,7 +626,12 @@ def shade_raytraced(
             nor_s = nor[::s, ::s]
             lv_s = lpos - pos_s
             hs, ws = pos_s.shape[:2]
-            if rt_packet:
+            if rt_threaded:
+                occ_small = _trace_occlusion_blocks(
+                    trav, tables_th, pos_s, nor_s, lpos,
+                    needs_ray[::s, ::s], max_steps * 8, ray_chunk, max_leaf,
+                )
+            elif rt_packet:
                 occ_small = trav.occluded_packets(
                     tlas, blas, inst, tri_pos,
                     (pos_s + nor_s * 1e-4).reshape(-1, 3),
@@ -607,6 +655,11 @@ def shade_raytraced(
             occ_hit = jnp.repeat(
                 jnp.repeat(occ_small, s, axis=0), s, axis=1
             )[:H, :W]
+        elif rt_threaded:
+            occ_hit = _trace_occlusion_blocks(
+                trav, tables_th, pos, nor, lpos, needs_ray,
+                max_steps * 8, ray_chunk, max_leaf,
+            )
         else:
             origins = (pos + nor * 1e-4).reshape(-1, 3)
             dirs = light_vec.reshape(-1, 3)

@@ -459,6 +459,52 @@ def brute_force_closest(vertices, indices, origin, direction, t_max=float(MAX_DI
 
 
 # ---------------------------------------------------------------------------
+# Exit links (host): stackless "threaded" traversal order over FIXED
+# topology. exit(node) = where traversal resumes once this node (and, for
+# internal nodes on a miss, its whole subtree) is finished: the right
+# sibling if the node is a left child, else the parent's exit. With
+# hit->first-child / miss->exit the traversal needs NO stack — the device
+# loop becomes one node gather + one slab per step with zero scatters
+# (rt/traverse.py occluded_threaded). Links are topology-only: AABB refits
+# (skinning) never invalidate them.
+# ---------------------------------------------------------------------------
+
+
+def exit_links(left: np.ndarray, right: np.ndarray,
+               is_leaf: np.ndarray) -> np.ndarray:
+    """Generic DFS exit links for a binary tree rooted at 0.
+
+    Returns (B,) int32, ENCODED as exit+1 with 0 = "done" (root's exit and
+    every node on the root's rightmost spine). Unreachable slots (the
+    reference BLAS layout leaves slot 1 empty, blas.rs:90) stay 0."""
+    B = len(is_leaf)
+    out = np.zeros(B, np.int32)
+    if B == 0:
+        return out
+    stack = [(0, 0)]  # (node, encoded exit)
+    while stack:
+        n, e = stack.pop()
+        out[n] = e
+        if not is_leaf[n]:
+            l, r = int(left[n]), int(right[n])
+            stack.append((r, e))
+            stack.append((l, r + 1))
+    return out
+
+
+def blas_exit_links(nodes: np.ndarray) -> np.ndarray:
+    """Exit links for one NODE_DTYPE BLAS (mesh-LOCAL encoding)."""
+    left = nodes["left_first"].astype(np.int64)
+    return exit_links(left, left + 1, nodes["count"] > 0)
+
+
+def tlas_exit_links(nodes: np.ndarray) -> np.ndarray:
+    """Exit links for a TLAS_DTYPE array (global encoding)."""
+    lr = nodes["left_right"].astype(np.int64)
+    return exit_links(lr & 0xFFFF, lr >> 16, lr == 0)
+
+
+# ---------------------------------------------------------------------------
 # Refit plans (host): level-ordered index arrays for in-jit bottom-up AABB
 # refit over FIXED topology. Skinned geometry moves every frame; rebuilding
 # a BVH inside a jit is impossible (data-dependent structure), but a refit

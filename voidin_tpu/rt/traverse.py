@@ -562,6 +562,297 @@ def _occluded_packets_core(
     )
 
 
+# ---------------------------------------------------------------------------
+# Threaded (stackless) packet traversal — round-5 replacement for the
+# stack-based packet loop. Exit links (rt/bvh.py exit_links) turn the
+# traversal into hit->first-child / miss->exit pointer chasing: the while
+# body becomes ONE unified node-row gather + one slab test + the leaf
+# triangle tests, with ZERO stack scatters (the stack version pays 5 masked
+# scatter pushes + two slab tests per step — the dominant per-step cost on
+# hardware). Visits the exact same gated node set as occluded_packets, so
+# the hit output is bit-identical (tests/test_traverse_threaded.py).
+# ---------------------------------------------------------------------------
+
+
+def pack_threaded_table(
+    tlas_min, tlas_max, tlas_left_right, tlas_instance, tlas_exit,
+    blas_min, blas_max, blas_left_first, blas_count, blas_exit,
+):
+    """ONE (Bt+Bb, 16) f32 node table: [min3, a, max3, exit, count, pad7].
+
+    TLAS rows first (a = left child, or -(instance+1) for leaves; exit
+    globally encoded e+1, 0 = done); BLAS rows after (a = left_first,
+    mesh-local; leaf iff count > 0; exit mesh-LOCAL encoded e+1, 0 =
+    subtree done -> resume to the saved TLAS exit). 64 B rows are inside
+    the flat gather-cost regime (<= 96 B, CLAUDE.md round-4)."""
+    lr = tlas_left_right.astype(jnp.uint32)
+    left = (lr & 0xFFFF).astype(jnp.float32)
+    is_leaf = lr == 0
+    a_t = jnp.where(is_leaf, -(tlas_instance.astype(jnp.float32) + 1.0), left)
+    Bt = tlas_min.shape[0]
+    trow = jnp.concatenate(
+        [
+            tlas_min, a_t[:, None], tlas_max,
+            tlas_exit.astype(jnp.float32)[:, None],
+            jnp.zeros((Bt, 8), jnp.float32),
+        ],
+        axis=-1,
+    )
+    Bb = blas_min.shape[0]
+    brow = jnp.concatenate(
+        [
+            blas_min,
+            blas_left_first.astype(jnp.float32)[:, None],
+            blas_max,
+            blas_exit.astype(jnp.float32)[:, None],
+            blas_count.astype(jnp.float32)[:, None],
+            jnp.zeros((Bb, 7), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([trow, brow], axis=0), Bt
+
+
+def occluded_threaded(
+    table,  # (Bt+Bb, 16) from pack_threaded_table
+    n_tlas,  # static int: number of TLAS rows
+    instance_rows,  # (N, 24)
+    tri_pos,  # (T_pool, 9)
+    origins,  # (R, 3)
+    directions,  # (R, 3) NOT normalized; t_max in units of |direction|
+    t_max=1.0,
+    max_steps=4096,
+    active=None,
+    packet=128,
+    chunk_packets=None,
+    max_leaf=MAX_LEAF,
+):
+    """Stackless packet any-hit occlusion. Same contract and BIT-IDENTICAL
+    results as occluded_packets (same per-lane slab/leaf gating — see
+    module comment above); ~3x fewer gather/scatter rows per step."""
+    R = origins.shape[0]
+    P = packet
+    pad = (-R) % P
+
+    def padp(x, fill=0):
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+        )
+
+    tm_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    act_full = jnp.ones((R,), bool) if active is None else active
+    o = padp(origins).reshape(-1, P, 3)
+    d = padp(directions).reshape(-1, P, 3)
+    tm = padp(tm_full).reshape(-1, P)
+    act = padp(act_full).reshape(-1, P)
+    K = o.shape[0]
+
+    if chunk_packets is not None and K > chunk_packets:
+        kpad = (-K) % chunk_packets
+
+        def padk(x, fill=0):
+            if not kpad:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((kpad,) + x.shape[1:], fill, x.dtype)]
+            )
+
+        G = (K + kpad) // chunk_packets
+        shp = (G, chunk_packets)
+
+        def one(args):
+            oo, dd, tt, aa = args
+            return _occluded_threaded_core(
+                table, n_tlas, instance_rows, tri_pos,
+                oo, dd, tt, aa, max_steps, max_leaf,
+            )
+
+        res = jax.lax.map(
+            one,
+            (
+                padk(o).reshape(shp + (P, 3)),
+                padk(d).reshape(shp + (P, 3)),
+                padk(tm).reshape(shp + (P,)),
+                padk(act).reshape(shp + (P,)),
+            ),
+        )
+        return OcclusionResult(
+            hit=res.hit.reshape(-1)[:R],
+            overflow=jnp.sum(res.overflow),
+            exhausted=jnp.sum(res.exhausted),
+        )
+    res = _occluded_threaded_core(
+        table, n_tlas, instance_rows, tri_pos, o, d, tm, act, max_steps,
+        max_leaf,
+    )
+    return OcclusionResult(
+        hit=res.hit.reshape(-1)[:R],
+        overflow=res.overflow,
+        exhausted=res.exhausted,
+    )
+
+
+def _occluded_threaded_core(
+    table, n_tlas, instance_rows, tri_pos, o, d, tm, act, max_steps,
+    max_leaf,
+):
+    """(K, P, 3) packet rays -> OcclusionResult with (K, P) hit.
+
+    cur encoding: TLAS node t as t+1, BLAS pool node b as -(b+1), 0 = done.
+    resume holds the saved TLAS exit (TLAS encoding) of the instance leaf
+    the packet is currently inside; one slot suffices because a BLAS
+    subtree always completes before the TLAS walk continues (the same LIFO
+    invariant the stack version relies on)."""
+    K, P = o.shape[:2]
+    inv0 = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+
+    state = dict(
+        cur=jnp.where(jnp.any(act, axis=1), 1, 0).astype(jnp.int32),
+        resume=jnp.zeros((K,), jnp.int32),
+        hit=jnp.zeros((K, P), bool),
+        co=o,
+        cd=d,
+        cinv=inv0,
+        lane_in=jnp.zeros((K, P), bool),
+        tri_base=jnp.zeros((K,), jnp.int32),
+        bvh_base=jnp.zeros((K,), jnp.int32),
+        steps=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        live = jnp.any(act & ~s["hit"], axis=1)
+        return jnp.any((s["cur"] != 0) & live) & (s["steps"] < max_steps)
+
+    def body(s):
+        lane_live = act & ~s["hit"]  # (K, P)
+        cur = s["cur"]
+        pa = (cur != 0) & jnp.any(lane_live, axis=1)  # (K,)
+        is_blas = cur < 0
+        t_node = jnp.where(pa & ~is_blas, cur - 1, 0)
+        b_node = jnp.where(pa & is_blas, -cur - 1, 0)
+        idx = jnp.where(is_blas, n_tlas + b_node, t_node)
+        row = table[checks.check_index(idx, table.shape[0], "rt.node")]
+        a = row[:, 3]
+        exit_enc = row[:, 7].astype(jnp.int32)
+        count = jnp.where(is_blas, row[:, 8], 0.0).astype(jnp.int32)
+
+        # one slab test on the per-packet SELECTED ray (original for TLAS
+        # steps, current object-space for BLAS steps)
+        o_sel = jnp.where(is_blas[:, None, None], s["co"], o)
+        inv_sel = jnp.where(is_blas[:, None, None], s["cinv"], inv0)
+        gate = lane_live & jnp.where(is_blas[:, None], s["lane_in"], True)
+        shit = _slab(
+            o_sel, inv_sel, row[:, None, 0:3], row[:, None, 4:7], tm
+        ) & gate  # (K, P)
+        node_hit = pa & jnp.any(shit, axis=1)
+
+        # --- TLAS leaf: enter instance (transform rays, save resume) ----
+        t_leaf = ~is_blas & (a < 0.0)
+        enter = node_hit & t_leaf
+        inst = jnp.where(enter, -a - 1.0, 0.0).astype(jnp.int32)
+        irow = instance_rows[
+            checks.check_index(inst, instance_rows.shape[0], "rt.instance")
+        ]  # (K, 24)
+        inv_t = irow[:, :16].reshape(K, 1, 4, 4)
+        o_obj = fastmath.mat4_point(inv_t, o)
+        d_obj = fastmath.mat3_vec(inv_t[:, :, :3, :3], d)
+        em = enter[:, None, None]
+        co = jnp.where(em, o_obj, s["co"])
+        cd = jnp.where(em, d_obj, s["cd"])
+        cinv = jnp.where(
+            em,
+            1.0 / jnp.where(jnp.abs(d_obj) > 1e-20, d_obj, 1e-20),
+            s["cinv"],
+        )
+        lane_in = jnp.where(enter[:, None], shit, s["lane_in"])
+        tri_base = jnp.where(
+            enter, irow[:, 17].astype(jnp.int32), s["tri_base"]
+        )
+        bvh_base = jnp.where(
+            enter, irow[:, 16].astype(jnp.int32), s["bvh_base"]
+        )
+        resume = jnp.where(enter, exit_enc, s["resume"])
+
+        # --- BLAS leaf: triangle tests (own-lane slab gate, as the stack
+        # version gates with b_hit) ---------------------------------------
+        b_left = jnp.where(is_blas, a, 0.0).astype(jnp.int32)
+        b_leaf_act = node_hit & is_blas & (count > 0)
+        hit = s["hit"]
+        for i in range(max_leaf):
+            in_leaf = b_leaf_act & (i < count)  # (K,)
+            tri = tri_pos[
+                jnp.where(in_leaf, s["tri_base"] + b_left + i, 0)
+            ]  # (K, 9)
+            h = _tri_hit(
+                s["co"], s["cd"], tri[:, None, 0:3], tri[:, None, 3:6],
+                tri[:, None, 6:9], tm,
+            )  # (K, P)
+            hit = hit | (in_leaf[:, None] & shit & h)
+
+        # --- next node: hit-internal -> first child; TLAS-leaf-hit ->
+        # BLAS root; everything else -> exit link --------------------------
+        t_int_hit = node_hit & ~is_blas & ~t_leaf
+        b_int_hit = node_hit & is_blas & (count <= 0)
+        exit_b = jnp.where(
+            exit_enc > 0, -(s["bvh_base"] + exit_enc), resume
+        )
+        nxt = jnp.where(
+            t_int_hit, a.astype(jnp.int32) + 1,
+            jnp.where(
+                enter, -(irow[:, 16].astype(jnp.int32) + 1),
+                jnp.where(
+                    b_int_hit, -(bvh_base + b_left + 1),
+                    jnp.where(is_blas, exit_b, exit_enc),
+                ),
+            ),
+        )
+        cur = jnp.where(pa, nxt, cur)
+
+        return dict(
+            cur=cur,
+            resume=resume,
+            hit=hit,
+            co=co,
+            cd=cd,
+            cinv=cinv,
+            lane_in=lane_in,
+            tri_base=tri_base,
+            bvh_base=bvh_base,
+            steps=s["steps"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    exhausted = jnp.sum(
+        ((out["cur"] != 0) & jnp.any(act & ~out["hit"], axis=1)).astype(
+            jnp.int32
+        )
+    )
+    return OcclusionResult(
+        hit=out["hit"], overflow=jnp.asarray(0, jnp.int32),
+        exhausted=exhausted,
+    )
+
+
+def scene_rays_threaded(scene):
+    """Packed threaded-traversal tables from SceneData: (table, n_tlas,
+    instance_rows, tri_pos). n_tlas is static; pass
+    scene.meshes.bvh_max_leaf as occluded_threaded's max_leaf."""
+    m = scene.meshes
+    t = scene.tlas
+    table, n_tlas = pack_threaded_table(
+        t.tlas_min, t.tlas_max, t.tlas_left_right, t.tlas_instance,
+        t.tlas_exit,
+        m.bvh_min, m.bvh_max, m.bvh_left_first, m.bvh_count, m.bvh_exit,
+    )
+    inst = pack_instance_rows(
+        scene.instances.inv_transform, m.bvh_index, m.base_index,
+        scene.instances.mesh_id,
+    )
+    return table, n_tlas, inst, m.tri_pos
+
+
 def scene_rays(scene):
     """Convenience: packed traversal tables from SceneData."""
     m = scene.meshes

@@ -173,6 +173,9 @@ class MeshPoolData:
     bvh_max: jnp.ndarray  # (B, 3) f32
     bvh_left_first: jnp.ndarray  # (B,) i32
     bvh_count: jnp.ndarray  # (B,) i32
+    # Mesh-LOCAL stackless exit links, encoded e+1 (0 = subtree done) —
+    # rt/bvh.py exit_links. Topology-only: skinning refits never touch it.
+    bvh_exit: jnp.ndarray  # (B,) i32
     # De-indexed triangle corner positions (T_pool, 9): one 36-byte row per
     # triangle [x0 y0 z0 x1 y1 z1 x2 y2 z2]. TPU gathers are element-rate
     # bound (~4ns/row regardless of width), so the raster setup fetches one
@@ -195,6 +198,9 @@ class MeshPoolData:
     lod_table: jnp.ndarray  # (M, 4) i32
     lod_thresh: jnp.ndarray  # (M, 4) f32
     has_lods: bool = struct.field(pytree_node=False, default=False)
+    # Static max triangles in any BLAS leaf (builder targets <= 3,
+    # blas.rs:106): sizes the traversal's per-step leaf-test loop.
+    bvh_max_leaf: int = struct.field(pytree_node=False, default=8)
 
 
 class MeshPool:
@@ -307,7 +313,17 @@ class MeshPool:
             bvh_max=np.ascontiguousarray(nodes["max"]),
             bvh_left_first=np.ascontiguousarray(nodes["left_first"]),
             bvh_count=np.ascontiguousarray(nodes["count"]),
+            bvh_exit=(
+                np.concatenate(
+                    [bvh_mod.blas_exit_links(n) for n in self.bvh_nodes]
+                )
+                if self.bvh_nodes
+                else np.zeros((0,), np.int32)
+            ),
             tri_pos=self._tri_pos(),
+            bvh_max_leaf=(
+                int(nodes["count"].max()) if len(nodes) else 1
+            ),
             **self._tri_attrs(),
             **self._lod_arrays(),
         )
@@ -369,8 +385,10 @@ class MeshPool:
     def device(self) -> MeshPoolData:
         h = self.host_arrays()
         has_lods = h.pop("has_lods")
+        max_leaf = h.pop("bvh_max_leaf")
         return MeshPoolData(
-            has_lods=has_lods, **{k: jnp.asarray(v) for k, v in h.items()}
+            has_lods=has_lods, bvh_max_leaf=max_leaf,
+            **{k: jnp.asarray(v) for k, v in h.items()},
         )
 
 

@@ -35,6 +35,9 @@ class TlasData:
     # (deepest first), children (-1 = leaf), leaf instance ids. Lets frames
     # with skinned geometry re-fit instance world AABBs bottom-up without
     # rebuilding the topology.
+    # Stackless exit links (rt/bvh.py tlas_exit_links), encoded e+1 with
+    # 0 = traversal done. Topology-only; refits never touch it.
+    tlas_exit: jnp.ndarray = struct.field(default=None)  # (B,) i32
     refit_order: jnp.ndarray = struct.field(default=None)  # (B,) i32
     refit_child: jnp.ndarray = struct.field(default=None)  # (B, 2) i32
     refit_instance: jnp.ndarray = struct.field(default=None)  # (B,) i32
@@ -139,6 +142,7 @@ class World:
             tlas_instance=jnp.asarray(
                 np.ascontiguousarray(nodes["instance_idx"]).astype(np.int64)
             ).astype(jnp.int32),
+            tlas_exit=jnp.asarray(bvh_mod.tlas_exit_links(nodes)),
             refit_order=jnp.asarray(plan["order"]),
             refit_child=jnp.asarray(plan["child"]),
             refit_instance=jnp.asarray(plan["instance"]),
