@@ -790,3 +790,380 @@ def render_oracle(world, cam, width, height, enable_post=True):
     hdr = shade(gbuf, world, cam, pyramids, ltc1, ltc2, width, height)
     ldr = postprocess(hdr) if enable_post else hdr
     return linear_to_srgb(ldr)
+
+
+# ---------------------------------------------------------------------------
+# raytraced point-light shadows (src/bin/raytraced_shadows.wgsl:58-119).
+# The occlusion query is BRUTE FORCE over every world-space triangle —
+# deliberately independent of the production BVH/traversal machinery (which
+# the numpy oracles in tests/test_traverse.py cover structurally); a wrong
+# TLAS/BLAS/packet/threading path shows up here as a wrong image.
+# ---------------------------------------------------------------------------
+
+
+def _world_triangles(world):
+    """(T, 3, 3) world-space triangle vertices over all opaque instances."""
+    mesh_h = world.meshes.host_arrays()
+    inst_h = world.instances.host_arrays()
+    positions = mesh_h["positions"]
+    indices = mesh_h["indices"]
+    base_index = mesh_h["base_index"]
+    index_count = mesh_h["index_count"]
+    vertex_offset = mesh_h["vertex_offset"]
+    tris = []
+    for ii in range(len(inst_h["transform"])):
+        m = inst_h["transform"][ii]
+        mesh_id = int(inst_h["mesh_id"][ii])
+        b = base_index[mesh_id]
+        idx = indices[b : b + index_count[mesh_id]].reshape(-1, 3)
+        pos = positions[idx + vertex_offset[mesh_id]]  # (t, 3, 3)
+        tris.append(pos @ m[:3, :3].T + m[:3, 3])
+    return (
+        np.concatenate(tris, axis=0)
+        if tris
+        else np.zeros((0, 3, 3), np.float32)
+    )
+
+
+def _any_hit_brute(tris, origins, dirs, t_max=1.0, chunk=2048):
+    """Backface-culled Moller-Trumbore any-hit (intersections.wgsl:26-45):
+    det >= 1e-10, 0 <= u, v, u + v <= 1, 0 < t < t_max."""
+    R = origins.shape[0]
+    hit = np.zeros(R, bool)
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    for s in range(0, R, chunk):
+        o = origins[s : s + chunk][:, None, :]  # (r, 1, 3)
+        d = dirs[s : s + chunk][:, None, :]
+        uvec = np.cross(d, e2[None])
+        det = np.sum(e1[None] * uvec, axis=-1)
+        inv_det = 1.0 / np.where(np.abs(det) > 1e-20, det, 1e-20)
+        orig = o - v0[None]
+        u = inv_det * np.sum(orig * uvec, axis=-1)
+        vvec = np.cross(orig, e1[None])
+        v = inv_det * np.sum(d * vvec, axis=-1)
+        t = inv_det * np.sum(e2[None] * vvec, axis=-1)
+        ok = (
+            (det >= 1e-10)
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+            & (t < t_max)
+        )
+        hit[s : s + chunk] = ok.any(axis=1)
+    return hit
+
+
+def shade_raytraced_oracle(gbuf, world, cam, pyramids, width, height):
+    """raytraced_shadows.wgsl:58-119: ambient 0.3*albedo + emissive,
+    shadow ray from pos + 1e-4*normal toward the light (t_max = 1 in
+    light-vector units), occlusion 0.5 on hit, (diff + spec) * occ * atten,
+    magenta debug for material 0."""
+    mats = world.materials
+    albedo_ids = np.asarray(mats.albedo, np.int32)
+    emissive_ids = np.asarray(mats.emissive, np.int32)
+    mr_ids = np.asarray(mats.metallic_roughness, np.int32)
+    mat_img = gbuf["material"]
+    uv = gbuf["uv"]
+    duvdx, duvdy = _quad_diffs(uv)
+
+    def sample_mat_tex(tex_ids):
+        out = np.zeros(mat_img.shape + (4,), np.float32)
+        ids = tex_ids[mat_img]
+        lod = _lod_from_grads(duvdx, duvdy, pyramids, ids)
+        for t in np.unique(ids):
+            m = ids == t
+            out[m] = sample_trilinear(pyramids[int(t)], uv[m], lod[m])
+        return out
+
+    albedo = sample_mat_tex(albedo_ids)
+    emissive = sample_mat_tex(emissive_ids)[..., :3]
+    mr = sample_mat_tex(mr_ids)
+
+    px = (np.arange(width, dtype=np.float32) + 0.5) / width
+    py = (np.arange(height, dtype=np.float32) + 0.5) / height
+    gu, gv = np.meshgrid(px, py)
+    depth = gbuf["depth"]
+    ndc = np.stack(
+        [gu * 2.0 - 1.0, (1.0 - gv) * 2.0 - 1.0, depth, np.ones_like(gu)],
+        -1,
+    )
+    c2w = np.asarray(cam.clip_to_world, np.float32)
+    wpos4 = ndc @ c2w.T
+    wdiv = wpos4[..., 3:4]
+    wdiv = np.where(
+        np.abs(wdiv) > 1e-12, wdiv, np.where(wdiv < 0, -1e-12, 1e-12)
+    )
+    pos = wpos4[..., :3] / wdiv
+
+    nor = gbuf["normal"]
+    campos = np.asarray(cam.position, np.float32)[:3]
+    rd = campos - pos
+    rd = rd / np.maximum(np.linalg.norm(rd, axis=-1, keepdims=True), 1e-30)
+
+    is_light = mat_img == LIGHT_MATERIAL
+    color = np.where(
+        is_light[..., None],
+        albedo[..., :3] + emissive,
+        albedo[..., :3] * 0.3 + emissive,
+    )
+
+    tris = _world_triangles(world)
+    shadable = (depth > 0.0) & ~is_light
+    for i in range(len(world.lights.point_radius)):
+        lpos = np.asarray(world.lights.point_position[i], np.float32)
+        lrad = np.float32(world.lights.point_radius[i])
+        lcol = np.asarray(world.lights.point_color[i], np.float32)
+        lvec = lpos - pos
+        dist = np.linalg.norm(lvec, axis=-1)
+
+        # shadow rays only where the contribution can be nonzero (the
+        # production renderer's EXACT skipping; identical images) — and
+        # where shadable, which bounds the brute-force ray count
+        need = shadable & (dist < lrad)
+        origins = (pos + nor * 1e-4)[need]
+        dirs = lvec[need]
+        occ_hit = np.zeros(depth.shape, bool)
+        occ_hit[need] = _any_hit_brute(tris, origins, dirs, t_max=1.0)
+        occlusion = np.where(occ_hit, 0.5, 1.0)
+
+        att = attenuation(1.0, 1.0, dist, lrad)
+        ldir = lvec / np.maximum(dist[..., None], 1e-30)
+        shade_t = np.maximum(0.0, (nor * ldir).sum(-1))
+        diff = lcol * albedo[..., :3] * shade_t[..., None]
+        covr = np.maximum(0.0, (-rd * nor).sum(-1))
+        spec = lcol * (mr[..., 2] * covr**16)[..., None]
+        contrib = (diff + spec) * (occlusion * att)[..., None]
+        color = color + np.where(shadable[..., None], contrib, 0.0)
+
+    # material 0 renders magenta where geometry was hit
+    # (raytraced_shadows.wgsl:83-85)
+    color = np.where(
+        ((mat_img == 0) & (depth > 0.0))[..., None],
+        np.array([1.0, 0.0, 1.0], np.float32),
+        color,
+    )
+    return np.maximum(color, 0.0)
+
+
+def render_oracle_raytraced(world, cam, width, height, enable_post=True):
+    """Full raytraced-shadows oracle frame -> sRGB float (H, W, 3)."""
+    pyramids = [
+        build_pyramid(world.textures, t)
+        for t in range(len(world.textures.images))
+    ]
+    raster = rasterize(world, cam, width, height)
+    gbuf = gbuffer_fragment(raster, world, pyramids)
+    hdr = shade_raytraced_oracle(gbuf, world, cam, pyramids, width, height)
+    ldr = postprocess(hdr) if enable_post else hdr
+    return linear_to_srgb(ldr)
+
+
+# ---------------------------------------------------------------------------
+# temporal pass: reprojection (shaders/reproject.wgsl:14-38) + TAA history
+# resolve (shaders/taa.wgsl:45-103)
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_image_clamp(img, u, v):
+    """Clamp-to-edge bilinear sample of (H, W, C) at normalized uv — the
+    GPU sampler semantics taa.wgsl relies on."""
+    H, W = img.shape[:2]
+    fx = u * W - 0.5
+    fy = v * H - 0.5
+    x0 = np.floor(fx)
+    y0 = np.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0 = x0.astype(np.int64)
+    y0 = y0.astype(np.int64)
+
+    def at(yy, xx):
+        return img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)]
+
+    c00 = at(y0, x0)
+    c10 = at(y0, x0 + 1)
+    c01 = at(y0 + 1, x0)
+    c11 = at(y0 + 1, x0 + 1)
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
+def _shift_clamp(img, dy, dx):
+    H, W = img.shape[:2]
+    ys = np.clip(np.arange(H) + dy, 0, H - 1)
+    xs = np.clip(np.arange(W) + dx, 0, W - 1)
+    return img[ys][:, xs]
+
+
+def _smoothstep(e0, e1, x):
+    t = np.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _mitchell(x):
+    B = C = 1.0 / 3.0
+    ax = abs(float(x))
+    if ax < 1.0:
+        return (
+            (12 - 9 * B - 6 * C) * ax**3
+            + (-18 + 12 * B + 6 * C) * ax**2
+            + (6 - 2 * B)
+        ) / 6.0
+    if ax < 2.0:
+        return (
+            (-B - 6 * C) * ax**3
+            + (6 * B + 30 * C) * ax**2
+            + (-12 * B - 48 * C) * ax
+            + (8 * B + 24 * C)
+        ) / 6.0
+    return 0.0
+
+
+def reproject_oracle(depth, cam, width, height):
+    """reproject.wgsl:14-38 -> (H, W, 3) = (vel_x, vel_y, in_bounds)."""
+    d = depth
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                d = np.maximum(d, _shift_clamp(depth, dy, dx))
+
+    u = (np.arange(width, dtype=np.float32) + 0.5) / width
+    v = (np.arange(height, dtype=np.float32) + 0.5) / height
+    x_ndc = np.broadcast_to((u * 2.0 - 1.0)[None, :], d.shape)
+    y_ndc = np.broadcast_to(((1.0 - v) * 2.0 - 1.0)[:, None], d.shape)
+
+    ndc = np.stack([x_ndc, y_ndc, d, np.ones_like(d)], -1)
+    c2w = np.asarray(cam.clip_to_world, np.float32)
+    wpos4 = ndc @ c2w.T
+    wdiv = wpos4[..., 3:4]
+    wdiv = np.where(
+        np.abs(wdiv) > 1e-12, wdiv, np.where(wdiv < 0, -1e-12, 1e-12)
+    )
+    pos_ws = wpos4[..., :3] / wdiv
+
+    m = np.asarray(cam.prev_world_to_clip, np.float32)
+    prev4 = pos_ws @ m[:, :3].T + m[:, 3]
+    prev_ndc = prev4[..., :2] / prev4[..., 3:4]
+
+    jit = np.asarray(cam.jitter, np.float32)
+    pjit = np.asarray(cam.prev_jitter, np.float32)
+    vel_x = (x_ndc + jit[0]) - (prev_ndc[..., 0] + pjit[0])
+    vel_y = (y_ndc + jit[1]) - (prev_ndc[..., 1] + pjit[1])
+
+    inv_dims = np.array([1.0 / width, 1.0 / height], np.float32)
+    in_bounds = np.all(
+        prev_ndc == np.clip(prev_ndc, -1.0 + inv_dims, 1.0 - inv_dims),
+        axis=-1,
+    )
+    return np.stack([vel_x, vel_y, in_bounds.astype(np.float32)], -1)
+
+
+def taa_resolve_oracle(color, history, motion):
+    """taa.wgsl:45-103: YCbCr Gaussian 3x3 moments, Mitchell-filtered
+    center, adaptive clamp box from local contrast + texel-center
+    distance, mu +/- 1.5 sigma clamp, blend 1 -> 1/12 by velocity
+    validity widened by clamp distance."""
+    H, W = color.shape[:2]
+    u = (np.arange(W, dtype=np.float32) + 0.5) / W
+    v = (np.arange(H, dtype=np.float32) + 0.5) / H
+    uu = np.broadcast_to(u[None, :], (H, W))
+    vv = np.broadcast_to(v[:, None], (H, W))
+
+    hist_u = uu - motion[..., 0] * 0.5
+    hist_v = vv + motion[..., 1] * 0.5  # * (1, -1) flip
+
+    hist = rgb_to_ycbcr(_bilinear_image_clamp(history, hist_u, hist_v))
+
+    vsum = np.zeros_like(color)
+    vsum2 = np.zeros_like(color)
+    wsum = 0.0
+    mn_sum = np.zeros_like(color)
+    mn_wsum = 0.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = _shift_clamp(color, dy, dx)
+            neigh = rgb_to_ycbcr(shifted)
+            w = float(np.exp(-3.0 * (dx * dx + dy * dy) / 4.0))
+            vsum += neigh * w
+            vsum2 += neigh * neigh * w
+            wsum += w
+            wt = _mitchell(np.sqrt(dx * dx + dy * dy))
+            mn_sum += shifted * wt
+            mn_wsum += wt
+
+    ex = vsum / wsum
+    ex2 = vsum2 / wsum
+    dev = np.sqrt(np.maximum(0.0, ex2 - ex * ex))
+    local_contrast = dev[..., 0] / (ex[..., 0] + 1e-5)
+
+    hist_px = hist_u * W
+    hist_py = hist_v * H
+    frac = np.stack(
+        [hist_px - np.floor(hist_px), hist_py - np.floor(hist_py)], -1
+    )
+    texel_center_dist = np.sum(np.abs(0.5 - frac), axis=-1)
+
+    box_size = 0.5 + 0.5 * _smoothstep(-0.1, 0.3, local_contrast)
+    box_size = box_size * (
+        0.5 + 0.5 * np.clip(1.0 - texel_center_dist, 0.0, 1.0)
+    )
+
+    center = rgb_to_ycbcr(mn_sum / mn_wsum)
+
+    bs2 = (box_size * box_size)[..., None]
+    mid = center + (ex - center) * bs2
+    nmin = mid - dev * (box_size[..., None] * 1.5)
+    nmax = mid + dev * (box_size[..., None] * 1.5)
+
+    clamped = np.clip(hist, nmin, nmax)
+    blend = 1.0 + (1.0 / 12.0 - 1.0) * motion[..., 2]
+    clamp_dist = np.minimum(
+        np.abs(hist[..., 0] - nmin[..., 0]),
+        np.abs(hist[..., 0] - nmax[..., 0]),
+    ) / np.maximum(np.maximum(hist[..., 0], ex[..., 0]), 1e-5)
+    blend = blend * (0.2 + 0.8 * _smoothstep(0.0, 2.0, clamp_dist))
+
+    return ycbcr_to_rgb(clamped + (center - clamped) * blend[..., None])
+
+
+def render_oracle_taa(world, cams, width, height, enable_post=True):
+    """Multi-frame oracle with the temporal pass: `cams` is the per-frame
+    CameraUniform chain (cams[i] built with previous=cams[i-1]). History
+    seeds from frame 0's output (the production renderer's documented
+    deviation — PARITY.md; the reference converges from black instead).
+    Returns the final frame -> sRGB float (H, W, 3)."""
+    pyramids = [
+        build_pyramid(world.textures, t)
+        for t in range(len(world.textures.images))
+    ]
+    import os
+
+    import voidin_tpu
+
+    tables = np.load(
+        os.path.join(
+            os.path.dirname(voidin_tpu.__file__), "assets", "ltc_tables.npz"
+        )
+    )
+    ltc1 = tables["ltc1"].astype(np.float32)
+    ltc2 = tables["ltc2"].astype(np.float32)
+
+    history = None
+    out = None
+    for cam in cams:
+        raster = rasterize(world, cam, width, height)
+        gbuf = gbuffer_fragment(raster, world, pyramids)
+        hdr = shade(gbuf, world, cam, pyramids, ltc1, ltc2, width, height)
+        if history is None:
+            out = hdr
+        else:
+            motion = reproject_oracle(gbuf["depth"], cam, width, height)
+            out = taa_resolve_oracle(hdr, history, motion)
+        history = out
+    ldr = postprocess(out) if enable_post else out
+    return linear_to_srgb(ldr)

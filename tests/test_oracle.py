@@ -130,3 +130,133 @@ def test_oracle_matches_production_config3():
     # divergences (both documented above); the budget stays well below
     # anything a semantic bug would produce
     _assert_anchored(prod, oracle, mean_budget=1.5e-2, name="config3")
+
+
+def test_oracle_matches_production_raytraced():
+    """Config-5-class scene (TLAS raytraced point-light shadows) against
+    the brute-force world-space occlusion oracle — anchors the whole
+    BVH/packet/threaded traversal stack at image level (VERDICT r4 next
+    #6). The production frame runs the PRODUCTION traversal settings
+    (threaded 8x16 screen-block packets)."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from voidin_tpu.core import mathx
+
+    W, H = 192, 108
+    w = vt.World()
+    knot = w.meshes.add(vt.mesh.make_torus_knot(segments=48, sides=8))
+    sphere = w.meshes.add(vt.mesh.make_uv_sphere(1.0, 4))
+    mat = w.materials.add()
+    rng = np.random.default_rng(11)
+    for i in range(8):
+        a = 2 * np.pi * i / 8
+        r = 3 + (i % 3)
+        t = mathx.from_translation(
+            [r * np.cos(a), 0.5 + (i % 3) * 1.2, -8 + r * np.sin(a)]
+        ) @ mathx.from_scale(float(rng.uniform(0.6, 1.0)))
+        w.instances.add(np.asarray(t), knot if i % 2 else sphere, mat)
+    w.instances.add(
+        np.asarray(
+            mathx.from_translation([0, -1.0, -8]) @ mathx.from_scale(30.0)
+        ),
+        vt.mesh.HORIZONTAL_PLANE_MESH,
+        mat,
+    )
+    # a LOW light elongates the cast shadows toward the camera (a high
+    # light at this pose shadows only ~2% of pixels — too weak for the
+    # dead-traversal check below)
+    w.lights.add_point_light([8, 4, -2], 35.0, [0.7, 0.68, 0.6])
+    cam = vt.Camera(position=[0, 4, 3], pitch=-22.0, aspect=W / H)
+    cu = cam.uniform()
+
+    from voidin_tpu.passes.raster import RasterConfig
+
+    cfg = RasterConfig(
+        width=W, height=H, interpret=True, tri_capacity=1 << 15,
+        pair_capacity=1 << 16, tile_tri_capacity=128,
+        rt_packet=128, rt_threaded=True,
+    )
+    scene = w.device(with_tlas=True)
+    g = Globals.make(W, H, frame=0, time=0.0, dt=0.0)
+    state = FrameState.initial(W, H)
+    img, _, _, aux = jax.jit(
+        partial(
+            render_frame, config=cfg, enable_cull=False, enable_taa=False,
+            enable_rt_shadows=True,
+        )
+    )(scene, cu, g, state, jnp.zeros(0, jnp.int32))
+    assert int(aux["overflow"]) == 0
+    prod = np.asarray(img)
+
+    oracle = orc.render_oracle_raytraced(w, cu, W, H)
+    _assert_anchored(prod, oracle, name="raytraced")
+
+    # the shadows must MATTER in this frame: the oracle re-run with an
+    # empty occlusion set must differ measurably from the production
+    # frame, otherwise this test can't see a dead traversal
+    orig = orc._world_triangles
+    orc._world_triangles = lambda _w: np.zeros((0, 3, 3), np.float32)
+    try:
+        no_shadow = orc.render_oracle_raytraced(w, cu, W, H)
+    finally:
+        orc._world_triangles = orig
+    d = np.abs(prod - no_shadow)
+    # measured at this pose: mean ~1.3e-3 over ~3.7% of pixels — a dead
+    # traversal (occlusion never applied) trips both
+    assert d.mean() > 5e-4 and (d.sum(-1) > 0.01).mean() > 0.02
+
+
+def test_oracle_matches_production_taa_two_frames():
+    """Two-frame temporal anchor (VERDICT r4 next #6): frame 0 seeds
+    history, frame 1 renders with a different sub-pixel jitter and a
+    previous-frame camera, and the TAA resolve (reproject + YCbCr clamp +
+    blend) must match the independent numpy port of reproject.wgsl:14-38 +
+    taa.wgsl:45-103 at image level."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from .test_golden import CFG, H, W, _deferred_scene
+
+    w = _deferred_scene()
+    cam = vt.Camera(position=[0, 2, 0], pitch=-18.0, aspect=W / H)
+
+    # Halton-style sub-pixel jitters in NDC units (jitter-in-projection)
+    j0 = np.array([0.25 / W, -0.33 / H], np.float32) * 2.0
+    j1 = np.array([-0.4 / W, 0.2 / H], np.float32) * 2.0
+    cam.jitter = j0
+    cu0 = cam.uniform()
+    cam.jitter = j1
+    cu1 = cam.uniform(previous=cu0)
+
+    cfg_caps = dict(tri_capacity=CFG.tri_capacity,
+                    pair_capacity=CFG.pair_capacity,
+                    tile_tri_capacity=CFG.tile_tri_capacity)
+    from voidin_tpu.passes.raster import RasterConfig
+
+    cfg = RasterConfig(width=W, height=H, interpret=True, **cfg_caps)
+    scene = w.device()
+    g = Globals.make(W, H, frame=0, time=0.0, dt=0.0)
+    state = FrameState.initial(W, H)
+    f = jax.jit(
+        partial(render_frame, config=cfg, enable_cull=False,
+                enable_taa=True)
+    )
+    mov = jnp.zeros(0, jnp.int32)
+    img0, state, _, aux0 = f(scene, cu0, g, state, mov)
+    img1, state, _, aux1 = f(scene, cu1, g, state, mov)
+    assert int(aux0["overflow"]) == 0 and int(aux1["overflow"]) == 0
+    prod = np.asarray(img1)
+
+    oracle = orc.render_oracle_taa(w, [cu0, cu1], W, H)
+    _assert_anchored(prod, oracle, name="taa_two_frames")
+
+    # the temporal pass must MATTER: the TAA-off frame-1 image differs
+    prod0 = np.asarray(img0)
+    assert np.abs(prod - prod0).mean() > 1e-4

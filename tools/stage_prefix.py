@@ -13,9 +13,17 @@ STAGES = ["cull", "setup", "bin", "raster", "resolve", "shade", "taa", "full"]
 
 
 def make_upto(scene, uniform, cfg, state, ab_ascale=1):
-    """Returns upto(stage) -> f(eps): the frame prefix ending at `stage`,
-    reduced to a scalar (eps perturbs znear so slope timing can defeat
-    caching; pass 0.0 for a single evaluation)."""
+    """Returns upto(stage) -> f(state, eps): the frame prefix ending at
+    `stage`, reduced to a scalar (eps perturbs znear so slope timing can
+    defeat caching; pass 0.0 for a single evaluation).
+
+    `state` MUST be passed as the runtime argument (the `state` parameter
+    here only survives for signature compatibility): a closure-captured
+    FrameState becomes a jit compile-time CONSTANT, history_valid=False
+    folds, and XLA dead-code-eliminates the entire TAA resolve — which is
+    exactly how every round-4 stage/sweep artifact missed the ~35 ms the
+    TAA pass really costs (tools/r5_tail_probe3.py). Pass a SECOND-frame
+    state (history_valid=True) for honest numbers."""
     import jax
     import jax.numpy as jnp
 
@@ -29,7 +37,7 @@ def make_upto(scene, uniform, cfg, state, ab_ascale=1):
     from voidin_tpu.scene.texture import linear_to_srgb
 
     def upto(stage):
-        def f(eps):
+        def f(state, eps):
             camera = uniform.replace(znear=uniform.znear + eps)
             draws = cull_pass.emit_draws(
                 scene.meshes, scene.instances, camera
