@@ -89,6 +89,36 @@ AB_VARIANTS = {
     # INCREMENTALLY — the expected winners go right after base so a sweep
     # cut short by the watcher timeout still yields them.
     "base": (dict(), False, 1, "off"),
+    # taa_inwindow: gather-free TAA history fetch (bit-identical,
+    # tests/test_taa_inwindow.py) — the history bilinear gather is
+    # 16.6 ms of the ~21 ms honest TAA cost (tools/r5_taa_probe.py;
+    # every round-4 artifact DCE'd the TAA pass via a constant
+    # FrameState, see tools/r5_tail_probe3.py). Composed with the two
+    # round-4 winners first so a short sweep still covers them.
+    "slim_pw": (
+        dict(slim_rec=True, planar_resolve=True, taa_inwindow=True),
+        True, 2, "on"
+    ),
+    "all_lut_pw": (
+        dict(fused_resolve_rec=True, inst_rec_f16=True,
+             planar_resolve=True, taa_inwindow=True), True, 2, "on"
+    ),
+    "taa_inw": (dict(taa_inwindow=True), False, 1, "off"),
+    # quad-block history fetch with the where-chain select: the 4x-fewer
+    # gather rows of taa_quad_history without its einsum select disaster
+    # (bit-identical, tests/test_taa_inwindow.py). Unlike taa_inwindow it
+    # handles sky-heavy frames (background quads stay block-coherent).
+    "slim_pqw": (
+        dict(slim_rec=True, planar_resolve=True, taa_quad_history=True,
+             taa_quad_where=True), True, 2, "on"
+    ),
+    "all_lut_pqw": (
+        dict(fused_resolve_rec=True, inst_rec_f16=True, planar_resolve=True,
+             taa_quad_history=True, taa_quad_where=True), True, 2, "on"
+    ),
+    "taa_qw": (
+        dict(taa_quad_history=True, taa_quad_where=True), False, 1, "off"
+    ),
     # planar (channel-major) resolve: identical arithmetic on (H, W)
     # planes instead of (H, W, 3)-shaped arrays whose tiny trailing dims
     # lane-pad to 128 on TPU. GBuffer fields bit-identical, aux taps
@@ -484,6 +514,52 @@ def run_preset(n, profile=False, rt_scale=0, ab=True):
             }
         )
     )
+    return r, p
+
+
+def run_anim(n=4, frames=60):
+    """Multi-frame ANIMATED capture (VERDICT r4 next #9): `frames` frames
+    of a preset through the production Renderer — state threading,
+    per-frame joint-matrix evaluation and skinning BLAS/TLAS refits all
+    inside the measured loop (the official static-pose number can't see
+    them). Wall-clock is chunked so the slope method still defeats the
+    axon tunnel's async dispatch; prints mean ms/frame + spread."""
+    import time
+
+    out = run_preset(n)
+    if out is None:
+        return
+    r, p = out
+
+    def jm():
+        return p.animator(r.time) if p.animator else None
+
+    chunk = 10
+    samples = []
+    img = r.render(p.camera, dt=1 / 60, joint_mats=jm())
+    _ = float(img.sum())  # warm
+    for s in range(frames // chunk):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            img = r.render(p.camera, dt=1 / 60, joint_mats=jm())
+        _ = float(img.sum())
+        samples.append((time.perf_counter() - t0) / chunk * 1000.0)
+    import numpy as _np
+
+    arr = _np.asarray(samples)
+    print(
+        json.dumps(
+            {
+                "metric": f"ms/frame 1080p config {n} ANIMATED "
+                          f"({frames} frames)",
+                "value": round(float(arr.mean()), 3),
+                "unit": "ms",
+                "spread": round(float(arr.max() - arr.min()), 3),
+                "chunks_ms": [round(float(x), 3) for x in arr],
+                "overflow": int(r.aux["overflow"]),
+            }
+        )
+    )
 
 
 def main():
@@ -507,11 +583,18 @@ def main():
                     "scale verification run, not a measurement")
     ap.add_argument("--no-ab", action="store_true",
                     help="run presets at base options (no tuned variant)")
+    ap.add_argument("--anim", type=int, default=0,
+                    help="N>0: ANIMATED capture — N frames of --config "
+                    "(default 4, the skinned preset) through the "
+                    "production Renderer; mean ms/frame + spread")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+    if args.anim:
+        return run_anim(args.config or 4, frames=args.anim)
     if args.config:
-        return run_preset(args.config, rt_scale=args.rt_scale,
-                          ab=not args.no_ab)
+        run_preset(args.config, rt_scale=args.rt_scale,
+                   ab=not args.no_ab)
+        return
 
     if args.smoke:
         # No probing: the probe subprocess can't inherit the CPU pin (the

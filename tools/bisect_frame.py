@@ -62,6 +62,12 @@ def main():
                     aspect=1920 / 1080)
     uniform = cam.uniform()
     state = FrameState.initial(cfg.width, cfg.height)
+    # steady-state (frame >= 1) TAA state, passed as a runtime ARG: a
+    # closure constant with history_valid=False lets XLA DCE the whole
+    # TAA resolve (the round-4 blind spot — tools/r5_tail_probe3.py)
+    state_dev = jax.device_put(
+        state.replace(history_valid=jnp.asarray(True))
+    )
 
     # one shared stage sequence for all audit tools (tools/stage_prefix.py)
     from tools.stage_prefix import STAGES, make_upto
@@ -82,7 +88,7 @@ def main():
     print(f"backend={backend} repeats={reps}")
     for r in range(reps):
         for s in stages:
-            cums[s].append(slope_time(fns[s]))
+            cums[s].append(slope_time(fns[s], state_dev))
     import numpy as _np
 
     marginals = {}

@@ -81,6 +81,18 @@ def main():
 
     run("F1 quadblock + edge batch", f1, history, motion)
 
+    # F4: quadblock with where-chain in-block select (same gathers + edge
+    # machinery; the einsum one-hot select replaced by fused VPU selects)
+    def f4(h, m, eps):
+        hu = uu[None, :] - m[..., 0] * 0.5 + eps
+        hv = vv[:, None] + m[..., 1] * 0.5
+        out, ovf = taa_mod._bilinear_clamp_quadblock(
+            h, hu, hv, capacity=1 << 14, select="where"
+        )
+        return out.sum() + ovf.astype(jnp.float32)
+
+    run("F4 quadblock where-select", f4, history, motion)
+
     # F2: table build only (the 4-shifted-copies f16 quad table + barrier)
     def f2(h, eps):
         img = h + eps

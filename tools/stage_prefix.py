@@ -45,7 +45,9 @@ def make_upto(scene, uniform, cfg, state, ab_ascale=1):
             if stage == "cull":
                 return draws.count.astype(jnp.float32)
             inst_rec = None
-            if getattr(cfg, "fused_inst_rec", False):
+            if getattr(cfg, "slim_rec", False) or getattr(
+                cfg, "fused_inst_rec", False
+            ):
                 inst_rec = resolve_pass._inst_rec_f16(scene)
             setup = raster_pass.triangle_setup(
                 scene.meshes, scene.instances, draws, camera, cfg,

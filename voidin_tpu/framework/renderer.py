@@ -214,9 +214,16 @@ def render_frame(
         # quad-block history fetch: compaction + scatters don't partition
         # row-locally under SPMD (same reason as quad_rate_resolve)
         tq = getattr(config, "taa_quad_history", False) and mesh is None
+        # in-window fetch: the fallback compaction + scatter don't
+        # partition row-locally under SPMD (same reason as quad_history)
+        tw = getattr(config, "taa_inwindow", False) and mesh is None
         hdr, state, taa_overflow = taa_pass.taa(
             hdr, gbuffer, camera, state, quad_history=tq,
             edge_capacity=getattr(config, "taa_edge_capacity", 0),
+            inwindow=tw,
+            block_capacity=getattr(config, "taa_block_capacity", 0),
+            quad_select="where" if getattr(config, "taa_quad_where", False)
+            else "einsum",
         )
         if mesh is not None:
             hdr = shard_mod.shard_rows(mesh, hdr)

@@ -148,6 +148,19 @@ class RasterConfig:
     # (tests/test_taa_quad.py). A/B on TPU before enabling.
     taa_quad_history: bool = False
     taa_edge_capacity: int = 0
+    # Gather-free TAA history fetch: near-static pixels select their
+    # bilinear corners from 25 statically shifted copies (dense VPU work,
+    # zero gather rows); fast movers fall back per 8x8 block through a
+    # compacted batch. BIT-IDENTICAL to the default fetch
+    # (tests/test_taa_inwindow.py). taa_block_capacity: fallback blocks
+    # (0 = auto Hb*Wb // 8), overflow counted.
+    taa_inwindow: bool = False
+    taa_block_capacity: int = 0
+    # taa_quad_history's in-block select: where-chains instead of the
+    # one-hot einsum (bit-identical; the einsum lane-pads tiny (4, 4)
+    # contractions onto the MXU at quad rate and measured ~8x slower
+    # than the per-pixel gather it replaces — tools/r5_taa_fetch_ab.py).
+    taa_quad_where: bool = False
     # Packet traversal for raytraced shadows (rt.traverse.
     # occluded_packets): this many screen-adjacent rays share one
     # traversal stack — node/tri rows fetched once per packet instead of

@@ -115,7 +115,7 @@ def _bilinear_clamp(img, u, v):
     return top + (bot - top) * ty
 
 
-def _bilinear_clamp_quadblock(img, u, v, capacity=0):
+def _bilinear_clamp_quadblock(img, u, v, capacity=0, select="einsum"):
     """Coherence-aware twin of _bilinear_clamp: the reprojected history
     coordinates of a 2x2 output quad land within ~1 texel of each other
     (d hist_x / dx ~= 1), so ONE 4x4-texel block row (16 texels x 3ch f16
@@ -170,35 +170,64 @@ def _bilinear_clamp_quadblock(img, u, v, capacity=0):
 
     blk = blocks[by * W + bx].reshape(Hq, Wq, 4, 4, C)  # f16 (Hq,Wq,4,4,C)
 
-    # per-pixel in-block offsets (0..2 when ok); gather-free select. ONE
-    # einsum over the full 4x4 block with per-corner shifted one-hots
-    # (d, e index the bilinear corner) instead of four einsums over f32
-    # 3x3 sub-slices: the f16 table is read once and never upcast as a
-    # whole (f32 blk alone was ~400 MB at 1080p). Exact: one-hot weights
-    # are 0/1, products/accumulation select a single f16 value into f32 —
-    # bit-identical to upcasting first (test_taa_quad.py holds the path
-    # to _bilinear_clamp bit-equality).
+    # per-pixel in-block offsets (0..2 when ok); gather-free select
     ox = jnp.clip(x4 - bx[..., None, None], 0, 2)  # (Hq, Wq, 2, 2)
     oy = jnp.clip(y4 - by[..., None, None], 0, 2)
-    j4 = jnp.arange(4)
-    oh_y = (oy[..., None, None] + jnp.arange(2)[:, None] == j4).astype(
-        jnp.float16
-    )  # (Hq, Wq, 2, 2, d, j)
-    oh_x = (ox[..., None, None] + jnp.arange(2)[:, None] == j4).astype(
-        jnp.float16
-    )  # (Hq, Wq, 2, 2, e, i)
-    corners = jnp.einsum(
-        "hwjic,hwpqdj,hwpqei->hwpqdec", blk, oh_y, oh_x,
-        preferred_element_type=jnp.float32,
-    )  # (Hq, Wq, 2, 2, 2, 2, C) f32
 
     def unq(a):  # (Hq, Wq, 2, 2, C) -> (H, W, C)
         return a.transpose(0, 2, 1, 3, 4).reshape(H, W, C)
 
-    c00 = unq(corners[..., 0, 0, :])
-    c10 = unq(corners[..., 0, 1, :])
-    c01 = unq(corners[..., 1, 0, :])
-    c11 = unq(corners[..., 1, 1, :])
+    if select == "where":
+        # separable where-chains on the f16 block: select the column by
+        # ox (3 candidates), then the row by oy. Pure fused VPU selects —
+        # the einsum variant's one-hot contraction lane-pads tiny (4, 4)
+        # contractions onto the MXU at quad rate and measured ~125 ms at
+        # 1080p (tools/r5_taa_fetch_ab.py); these chains are the same
+        # f16 values through jnp.where, so the result is bit-identical.
+        bq = blk[:, :, None, None]  # (Hq, Wq, 1, 1, 4, 4, C)
+        oxm = [(ox == j)[..., None] for j in (1, 2)]
+        corner = {}
+        for e in (0, 1):
+            cols = []
+            for k in range(4):
+                col = bq[..., k, e, :]
+                for j in (1, 2):
+                    col = jnp.where(oxm[j - 1], bq[..., k, j + e, :], col)
+                cols.append(col)  # (Hq, Wq, 2, 2, C) f16
+            oym = [(oy == i)[..., None] for i in (1, 2)]
+            for d in (0, 1):
+                row = cols[d]
+                for i in (1, 2):
+                    row = jnp.where(oym[i - 1], cols[i + d], row)
+                corner[(d, e)] = row.astype(jnp.float32)
+        c00 = unq(corner[(0, 0)])
+        c10 = unq(corner[(0, 1)])
+        c01 = unq(corner[(1, 0)])
+        c11 = unq(corner[(1, 1)])
+    else:
+        # ONE einsum over the full 4x4 block with per-corner shifted
+        # one-hots (d, e index the bilinear corner) instead of four
+        # einsums over f32 3x3 sub-slices: the f16 table is read once and
+        # never upcast as a whole (f32 blk alone was ~400 MB at 1080p).
+        # Exact: one-hot weights are 0/1, products/accumulation select a
+        # single f16 value into f32 — bit-identical to upcasting first
+        # (test_taa_quad.py holds the path to _bilinear_clamp
+        # bit-equality).
+        j4 = jnp.arange(4)
+        oh_y = (oy[..., None, None] + jnp.arange(2)[:, None] == j4).astype(
+            jnp.float16
+        )  # (Hq, Wq, 2, 2, d, j)
+        oh_x = (ox[..., None, None] + jnp.arange(2)[:, None] == j4).astype(
+            jnp.float16
+        )  # (Hq, Wq, 2, 2, e, i)
+        corners = jnp.einsum(
+            "hwjic,hwpqdj,hwpqei->hwpqdec", blk, oh_y, oh_x,
+            preferred_element_type=jnp.float32,
+        )  # (Hq, Wq, 2, 2, 2, 2, C) f32
+        c00 = unq(corners[..., 0, 0, :])
+        c10 = unq(corners[..., 0, 1, :])
+        c01 = unq(corners[..., 1, 0, :])
+        c11 = unq(corners[..., 1, 1, :])
     top = c00 + (c10 - c00) * tx
     bot = c01 + (c11 - c01) * tx
     out = top + (bot - top) * ty
@@ -229,6 +258,130 @@ def _bilinear_clamp_quadblock(img, u, v, capacity=0):
     bote = e01 + (e11 - e01) * txe
     vals = tope + (bote - tope) * tye
     widx = jnp.where(jnp.concatenate([valid] * 4), pix, H * W)
+    out = (
+        out.reshape(H * W, C).at[widx].set(vals, mode="drop")
+        .reshape(H, W, C)
+    )
+    return out, jnp.maximum(count - F, 0)
+
+
+def _bilinear_clamp_inwindow(img, u, v, capacity=0):
+    """Gather-free twin of _bilinear_clamp for NEAR-STATIC pixels.
+
+    The history coordinate of a pixel moves by (velocity + jitter-delta);
+    for everything except fast-moving geometry that is well under 2
+    texels, so the pixel's 2x2 bilinear corner quad lives inside its OWN
+    5x5 neighborhood. Those corners are picked with dense `where` chains
+    over 25 statically shifted copies (pure VPU work; XLA fuses the whole
+    select into one elementwise loop) — ZERO gather rows. Pixels whose
+    corner quad escapes the window (fast movers; measured ~1-2% at the
+    north-star pose, tools/r5_taa_fetch_ab.py) fall back to the quad-table
+    gather at 8x8-BLOCK granularity through a compacted, capacity-padded
+    batch.
+
+    BIT-IDENTICAL to _bilinear_clamp: both paths read the same
+    f16-quantized texels and run the same f32 lerp; the fallback gathers
+    the same packed quad rows. Returns (samples, block-overflow count).
+    """
+    H, W = img.shape[:2]
+    C = img.shape[2]
+    if H % 8 or W % 8:
+        return _bilinear_clamp(img, u, v), jnp.zeros((), jnp.int32)
+    imgh = img.astype(jnp.float16)
+
+    fx = u * W - 0.5
+    fy = v * H - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+
+    px = jnp.arange(W, dtype=jnp.int32)[None, :]
+    py = jnp.arange(H, dtype=jnp.int32)[:, None]
+    ox = x0i - px  # in-window iff in [-2, 1]
+    oy = y0i - py
+
+    # 25 clamp-shifted views of the f16 history (static slices of one
+    # edge-padded array; XLA fuses the reads into the select loop)
+    padded = jnp.pad(imgh, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    shifted = {
+        (ky, kx): padded[2 + ky : 2 + ky + H, 2 + kx : 2 + kx + W]
+        for ky in range(-2, 3)
+        for kx in range(-2, 3)
+    }
+
+    # separable select: colsel[ky][e] = shifted[ky, ox + e]
+    def sel4(cands, off):
+        # cands: {k: (H, W, C)} for k in -2..1; off in [-2, 1]
+        out = cands[-2]
+        for k in (-1, 0, 1):
+            out = jnp.where((off == k)[..., None], cands[k], out)
+        return out
+
+    corners = {}
+    for e in (0, 1):
+        colsel = {
+            ky: sel4({k: shifted[(ky, k + e)] for k in range(-2, 2)}, ox)
+            for ky in range(-2, 3)
+        }
+        for d in (0, 1):
+            corners[(d, e)] = sel4(
+                {k: colsel[k + d] for k in range(-2, 2)}, oy
+            ).astype(jnp.float32)
+
+    c00, c10 = corners[(0, 0)], corners[(0, 1)]
+    c01, c11 = corners[(1, 0)], corners[(1, 1)]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    out = top + (bot - top) * ty
+
+    # ---- 8x8-block fallback for out-of-window pixels --------------------
+    Hb, Wb = H // 8, W // 8
+    bad = (ox < -2) | (ox > 1) | (oy < -2) | (oy > 1)
+    bad_blk = bad.reshape(Hb, 8, Wb, 8).any(axis=(1, 3)).reshape(-1)
+    count = jnp.sum(bad_blk.astype(jnp.int32))
+    F = capacity or max(Hb * Wb // 8, 256)
+    bidx = fastmath.compact_indices(bad_blk, F)
+    valid = jnp.arange(F) < jnp.minimum(count, F)
+    by = bidx // Wb
+    bx = bidx - by * Wb
+    pys = by[:, None, None] * 8 + jnp.arange(8)[None, :, None]
+    pxs = bx[:, None, None] * 8 + jnp.arange(8)[None, None, :]
+    pix = (pys * W + pxs).reshape(-1)  # (64F,)
+    pix = jnp.where(jnp.repeat(valid, 64), pix, 0)
+
+    # the same packed quad table _bilinear_clamp gathers (f16, 4C/row)
+    xn = jnp.concatenate([imgh[:, 1:], imgh[:, -1:]], axis=1)
+    yn = jnp.concatenate([imgh[1:], imgh[-1:]], axis=0)
+    xyn = jnp.concatenate([xn[1:], xn[-1:]], axis=0)
+    quads = jnp.concatenate([imgh, xn, yn, xyn], axis=-1).reshape(
+        H * W, 4 * C
+    )
+    quads = jax.lax.optimization_barrier(quads)
+
+    # per-pixel fetch record [row, tx, ty] packed once densely -> ONE
+    # 12 B gather per fallback pixel + one quad row
+    rec = jnp.concatenate(
+        [
+            (y0i * W + x0i).astype(jnp.float32).reshape(H * W, 1),
+            tx.reshape(H * W, 1),
+            ty.reshape(H * W, 1),
+        ],
+        axis=-1,
+    )
+    rec = jax.lax.optimization_barrier(rec)
+    r = rec[pix]
+    q = quads[r[:, 0].astype(jnp.int32)].astype(jnp.float32)
+    txe = r[:, 1:2]
+    tye = r[:, 2:3]
+    e00, e10 = q[..., :C], q[..., C : 2 * C]
+    e01, e11 = q[..., 2 * C : 3 * C], q[..., 3 * C :]
+    tope = e00 + (e10 - e00) * txe
+    bote = e01 + (e11 - e01) * txe
+    vals = tope + (bote - tope) * tye
+    widx = jnp.where(jnp.repeat(valid, 64), pix, H * W)
     out = (
         out.reshape(H * W, C).at[widx].set(vals, mode="drop")
         .reshape(H, W, C)
@@ -273,9 +426,13 @@ def reproject(gbuffer, camera) -> jnp.ndarray:
 
 
 def taa_resolve(color, history, motion, quad_history=False,
-                edge_capacity=0):
+                edge_capacity=0, inwindow=False, block_capacity=0,
+                quad_select="einsum"):
     """taa.wgsl:45-103. color/history: (H, W, 3); motion: (H, W, 3).
-    Returns (resolved, edge-overflow count — 0 unless quad_history)."""
+    Returns (resolved, edge-overflow count — 0 unless quad_history or
+    inwindow). `inwindow`: gather-free history fetch for near-static
+    pixels (bit-identical; see _bilinear_clamp_inwindow). `quad_select`:
+    the quad path's in-block select ("einsum" | "where", bit-identical)."""
     H, W = color.shape[:2]
     u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
@@ -289,7 +446,12 @@ def taa_resolve(color, history, motion, quad_history=False,
     overflow = jnp.zeros((), jnp.int32)
     if quad_history and H % 2 == 0 and W % 2 == 0:
         hist_rgb, overflow = _bilinear_clamp_quadblock(
-            history, hist_u, hist_v, capacity=edge_capacity
+            history, hist_u, hist_v, capacity=edge_capacity,
+            select=quad_select,
+        )
+    elif inwindow:
+        hist_rgb, overflow = _bilinear_clamp_inwindow(
+            history, hist_u, hist_v, capacity=block_capacity
         )
     else:
         hist_rgb = _bilinear_clamp(history, hist_u, hist_v)
@@ -353,12 +515,14 @@ def taa_resolve(color, history, motion, quad_history=False,
     return ycbcr_to_rgb(result), overflow
 
 
-def taa(color, gbuffer, camera, state, quad_history=False, edge_capacity=0):
+def taa(color, gbuffer, camera, state, quad_history=False, edge_capacity=0,
+        inwindow=False, block_capacity=0, quad_select="einsum"):
     """Full TAA pass; returns (resolved color, new state, overflow)."""
     motion = reproject(gbuffer, camera)
     resolved, overflow = taa_resolve(
         color, state.history, motion, quad_history=quad_history,
-        edge_capacity=edge_capacity,
+        edge_capacity=edge_capacity, inwindow=inwindow,
+        block_capacity=block_capacity, quad_select=quad_select,
     )
     out = jnp.where(state.history_valid, resolved, color)
     new_state = state.replace(history=out, history_valid=jnp.asarray(True))
