@@ -104,6 +104,18 @@ AB_VARIANTS = {
              planar_resolve=True, taa_inwindow=True), True, 2, "on"
     ),
     "taa_inw": (dict(taa_inwindow=True), False, 1, "off"),
+    # kernel_payload: the fine-raster kernel contracts the winner's
+    # resolve record per pixel on the MXU (bit-identical,
+    # tests/test_kernel_payload.py) — resolve's 2M-row record gather
+    # becomes a pair_capacity-row stream gather.
+    "slim_pk": (
+        dict(slim_rec=True, planar_resolve=True, kernel_payload=True),
+        True, 2, "on"
+    ),
+    "slim_pkw": (
+        dict(slim_rec=True, planar_resolve=True, kernel_payload=True,
+             taa_inwindow=True), True, 2, "on"
+    ),
     # quad-block history fetch with the where-chain select: the 4x-fewer
     # gather rows of taa_quad_history without its einsum select disaster
     # (bit-identical, tests/test_taa_inwindow.py). Unlike taa_inwindow it

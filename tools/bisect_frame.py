@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--variant", default=None,
                     help="A/B variant to profile (bench.AB_VARIANTS key); "
                     "default: the AB_OPTIONS.json winner bench.py ships")
+    ap.add_argument("--config", type=int, default=0,
+                    help="profile a BASELINE preset scene (pose + "
+                    "capacities) instead of the north-star world")
     args = ap.parse_args()
 
     import jax
@@ -51,15 +54,33 @@ def main():
     else:
         ab_name, (ab_cfg, ab_bf16, ab_ascale, ab_lut) = tuned_options()
     apply_ab_runtime_options(ab_bf16, ab_ascale, ab_lut, backend)
-    print(f"variant={ab_name}")
-    world, moving = build_world()
-    cfg = RasterConfig(
-        width=1920, height=1080, tri_capacity=1 << 19, pair_capacity=1 << 19,
-        tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15, interpret=backend == "cpu", **ab_cfg,
-    )
+    print(f"variant={ab_name} config={args.config or 'north-star'}")
+    if args.config:
+        import numpy as np
+
+        from voidin_tpu.framework.presets import PRESETS
+
+        p = PRESETS[args.config](1920 / 1080)
+        world, moving = p.world, np.asarray(p.moving_ids, np.int32)
+        cfg = RasterConfig(
+            width=1920, height=1080, tri_capacity=p.tri_capacity,
+            pair_capacity=p.pair_capacity,
+            tile_tri_capacity=p.tile_tri_capacity,
+            quad_edge_capacity=p.quad_edge_capacity,
+            taa_edge_capacity=p.taa_edge_capacity,
+            tap_edge_capacity=p.tap_edge_capacity,
+            interpret=backend == "cpu", **ab_cfg,
+        )
+        cam = p.camera
+    else:
+        world, moving = build_world()
+        cfg = RasterConfig(
+            width=1920, height=1080, tri_capacity=1 << 19, pair_capacity=1 << 19,
+            tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15, interpret=backend == "cpu", **ab_cfg,
+        )
+        cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
+                        aspect=1920 / 1080)
     scene = world.device()
-    cam = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
-                    aspect=1920 / 1080)
     uniform = cam.uniform()
     state = FrameState.initial(cfg.width, cfg.height)
     # steady-state (frame >= 1) TAA state, passed as a runtime ARG: a
@@ -151,8 +172,7 @@ def main():
     # the same jitted fn bench.py's official number times
     from voidin_tpu.framework.renderer import Renderer
 
-    cam_obj = vt.Camera(position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
-                        aspect=1920 / 1080)
+    cam_obj = cam
     r = Renderer(scene, cfg, moving_ids=moving, area_light_scale=ab_ascale)
     img = r.render(cam_obj)
     _ = float(img.sum())

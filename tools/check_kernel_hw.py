@@ -79,18 +79,40 @@ def main():
     rec, starts, counts = build_case()
     args = (jnp.asarray(rec), jnp.asarray(starts), jnp.asarray(counts))
     bad = 0
+    # winner-payload contraction operand: 16-bit integer halves (the
+    # production encoding, raster._pair_payload_stream) built from
+    # ADVERSARIAL u32 bit patterns (incl. would-be NaN/Inf/subnormal
+    # f32 encodings) + arbitrary finite floats in the native columns
+    rng0 = np.random.default_rng(3)
+    raw = rng0.integers(0, 1 << 32, (rec.shape[0], 9), dtype=np.uint64)
+    raw = raw.astype(np.uint32)
+    pay = np.concatenate(
+        [
+            (rng0.standard_normal((rec.shape[0], 15))
+             * 10.0 ** rng0.integers(-8, 8, (rec.shape[0], 15))
+             ).astype(np.float32),
+            (raw & 0xFFFF).astype(np.float32),
+            (raw >> 16).astype(np.float32),
+            np.zeros((rec.shape[0], 7), np.float32),
+        ],
+        axis=-1,
+    )
     for track2 in (False, True):
-        hw = fr.fine_raster_pairs(
-            *args, tiles_x=4, tiles_per_step=8, interpret=False, track2=track2
-        )
-        it = fr.fine_raster_pairs(
-            *args, tiles_x=4, tiles_per_step=8, interpret=True, track2=track2
-        )
-        for k, (a, b) in enumerate(zip(hw, it)):
-            a, b = np.asarray(a), np.asarray(b)
-            eq = (a == b).mean()
-            print(f"track2={track2} out{k}: exact-equal {eq:.4f}")
-            bad += eq < 1.0
+        for payload in (None, jnp.asarray(pay)):
+            hw = fr.fine_raster_pairs(
+                *args, tiles_x=4, tiles_per_step=8, interpret=False,
+                track2=track2, payload=payload,
+            )
+            it = fr.fine_raster_pairs(
+                *args, tiles_x=4, tiles_per_step=8, interpret=True,
+                track2=track2, payload=payload,
+            )
+            for k, (a, b) in enumerate(zip(hw, it)):
+                a, b = np.asarray(a), np.asarray(b)
+                eq = (a == b).mean()
+                print(f"track2={track2} pay={payload is not None} "
+                      f"out{k}: exact-equal {eq:.4f}")
+                bad += eq < 1.0
     # LUT-fetch kernel (ops/lut_fetch.py): compiled vs interpret across
     # the channel-padding paths (C=1 -> 2, C=5 -> 6) and bf16.
     from voidin_tpu.ops.lut_fetch import lut_fetch_pallas

@@ -158,6 +158,11 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--config", type=int, default=0,
+                    help="census a BASELINE preset scene instead of the "
+                    "north-star world (pose, capacities and the preset's "
+                    "camera; the taa row counts apply only if the preset "
+                    "runs TAA)")
     args = ap.parse_args()
 
     import jax
@@ -175,18 +180,35 @@ def main():
     ab_cfg, ab_bf16, ab_ascale, ab_lut = AB_VARIANTS[args.variant]
     shading_pass.LTC_LUT_BF16 = ab_bf16
     shading_pass.LTC_FETCH_PALLAS = "interpret" if ab_lut != "off" else "off"
-    world, _moving = build_world()
-    cfg = RasterConfig(
-        width=args.width, height=args.height,
-        tri_capacity=1 << 19, pair_capacity=1 << 19,
-        tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15,
-        interpret=True, **ab_cfg,
-    )
-    scene = world.device()
-    uniform = vt.Camera(
-        position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
-        aspect=args.width / args.height,
-    ).uniform()
+    if args.config:
+        from voidin_tpu.framework.presets import PRESETS
+
+        p = PRESETS[args.config](args.width / args.height)
+        world = p.world
+        cfg = RasterConfig(
+            width=args.width, height=args.height,
+            tri_capacity=p.tri_capacity, pair_capacity=p.pair_capacity,
+            tile_tri_capacity=p.tile_tri_capacity,
+            quad_edge_capacity=p.quad_edge_capacity,
+            taa_edge_capacity=p.taa_edge_capacity,
+            tap_edge_capacity=p.tap_edge_capacity,
+            interpret=True, **ab_cfg,
+        )
+        scene = world.device()
+        uniform = p.camera.uniform()
+    else:
+        world, _moving = build_world()
+        cfg = RasterConfig(
+            width=args.width, height=args.height,
+            tri_capacity=1 << 19, pair_capacity=1 << 19,
+            tile_tri_capacity=128, quad_edge_capacity=1 << 15, taa_edge_capacity=1 << 12, tap_edge_capacity=1 << 15,
+            interpret=True, **ab_cfg,
+        )
+        scene = world.device()
+        uniform = vt.Camera(
+            position=[0.0, 2.0, 30.0], yaw=0.0, pitch=-5.0,
+            aspect=args.width / args.height,
+        ).uniform()
     state = FrameState.initial(cfg.width, cfg.height).replace(
         history_valid=jnp.asarray(True)
     )

@@ -114,12 +114,20 @@ def _kernel_pairs(
     starts_ref,
     counts_ref,
     rec_hbm,  # (n_chunks, KREC_F, CHUNK) f32, quantity-major per chunk
-    *rest,  # out refs (2 or 4 with track2), then scratch, sems
+    *rest,  # [pay_hbm], out refs, then scratch(es), sems
     tiles_per_step,
     tiles_x,
     track2=False,
+    pay_f=0,
 ):
-    if track2:
+    if pay_f:
+        if track2:
+            (pay_hbm, depth_ref, id_ref, depth2_ref, id2_ref, pay_ref,
+             scratch, pscratch, sems, psems) = rest
+        else:
+            (pay_hbm, depth_ref, id_ref, pay_ref, scratch, pscratch, sems,
+             psems) = rest
+    elif track2:
         depth_ref, id_ref, depth2_ref, id2_ref, scratch, sems = rest
     else:
         depth_ref, id_ref, scratch, sems = rest
@@ -136,6 +144,13 @@ def _kernel_pairs(
             sems.at[j, slot],
         )
 
+    def pdma(j, slot, chunk0, c):
+        return pltpu.make_async_copy(
+            pay_hbm.at[chunk0 + c],
+            pscratch.at[j, slot],
+            psems.at[j, slot],
+        )
+
     # Prologue: first chunk of every non-empty tile in flight at once.
     # (Start/wait MUST balance per semaphore — they persist across steps.)
     for j in range(tiles_per_step):
@@ -144,6 +159,8 @@ def _kernel_pairs(
         @pl.when(counts_ref[tile] > 0)
         def _(j=j, tile=tile):
             dma(j, 0, starts_ref[tile] // CHUNK, 0).start()
+            if pay_f:
+                pdma(j, 0, starts_ref[tile] // CHUNK, 0).start()
 
     for j in range(tiles_per_step):
         tile = step * tiles_per_step + j
@@ -158,10 +175,14 @@ def _kernel_pairs(
             @pl.when(c + 1 < n_chunks)
             def _():
                 dma(j, jax.lax.rem(c + 1, 2), chunk0, c + 1).start()
+                if pay_f:
+                    pdma(j, jax.lax.rem(c + 1, 2), chunk0, c + 1).start()
 
             dma(j, jax.lax.rem(c, 2), chunk0, c).wait()
+            if pay_f:
+                pdma(j, jax.lax.rem(c, 2), chunk0, c).wait()
 
-            def one_slot(blk):  # (KREC_F, CHUNK)
+            def one_slot(blk, pblk=None):  # (KREC_F, CHUNK)
                 # Records in [offset, span) of the tile's range only —
                 # chunk boundaries may hold neighbors' (differently
                 # baked) records.
@@ -191,14 +212,32 @@ def _kernel_pairs(
                     keepdims=True,
                 )
                 if track2:
-                    bd, bi, bd2, bi2 = carry
+                    bd, bi, bd2, bi2 = carry[:4]
                 else:
-                    bd, bi = carry
+                    bd, bi = carry[:2]
                 take = gmax > bd
                 nbd = jnp.where(take, gmax, bd)
                 nbi = jnp.where(take, gid, bi)
+                npay = ()
+                if pay_f:
+                    # Winner-payload contraction: ONE MXU dot selects the
+                    # chunk winner's payload row per pixel (a record id
+                    # appears once per tile, so the one-hot has a single
+                    # live sublane per lane); the cross-chunk merge
+                    # follows the id merge exactly, so the final payload
+                    # is bit-identical to resolve_rec[winner_id] — the
+                    # gather the resolve pass no longer issues.
+                    onehot = (
+                        inside & (cand == gmax) & (idt == gid)
+                    ).astype(jnp.float32)  # (CHUNK, 128)
+                    pay_c = jax.lax.dot_general(
+                        pblk, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (PAY_F, 128)
+                    npay = (jnp.where(take, pay_c, carry[-1]),)
                 if not track2:
-                    return nbd, nbi
+                    return (nbd, nbi) + npay
                 # Runner-up among DISTINCT triangles: within-chunk 2nd
                 # place (mask the argmax sublanes), then a sorted-pair
                 # merge with the running (best, second). Deliberate: ALL
@@ -234,8 +273,14 @@ def _kernel_pairs(
                 return (
                     nbd, nbi,
                     jnp.where(t3, lv, m2v), jnp.where(t3, li, m2i),
-                )
+                ) + npay
 
+            if pay_f:
+                return jax.lax.cond(
+                    jax.lax.rem(c, 2) == 0,
+                    lambda: one_slot(scratch[j, 0], pscratch[j, 0]),
+                    lambda: one_slot(scratch[j, 1], pscratch[j, 1]),
+                )
             return jax.lax.cond(
                 jax.lax.rem(c, 2) == 0,
                 lambda: one_slot(scratch[j, 0]),
@@ -245,12 +290,16 @@ def _kernel_pairs(
         zeros = jnp.zeros((1, TILE_PX), jnp.float32)
         negs = jnp.full((1, TILE_PX), -1.0)
         init = (zeros, negs, zeros, negs) if track2 else (zeros, negs)
+        if pay_f:
+            init = init + (jnp.zeros((pay_f, TILE_PX), jnp.float32),)
         out = jax.lax.fori_loop(0, n_chunks, body, init)
         depth_ref[j] = out[0][0]
         id_ref[j] = out[1][0]
         if track2:
             depth2_ref[j] = out[2][0]
             id2_ref[j] = out[3][0]
+        if pay_f:
+            pay_ref[j] = out[-1]
 
 
 def fine_raster_pairs(
@@ -262,9 +311,15 @@ def fine_raster_pairs(
     tiles_per_step: int = 8,
     interpret: bool = False,
     track2: bool = False,
+    payload: jnp.ndarray = None,  # (E + pad, PAY_F) f32, PAY_F % 8 == 0,
+    # per-pair winner payload rows (MXU-safe: no NaN/Inf bit patterns —
+    # bitcast u32/f16 columns must ride as 16-bit integer halves)
 ):
     """Returns (depth, id) (NT, TILE_PX) f32 each; with `track2` also the
-    per-pixel runner-up (depth2, id2) for alpha-cutoff fallback."""
+    per-pixel runner-up (depth2, id2) for alpha-cutoff fallback; with
+    `payload` also (NT, PAY_F, TILE_PX) — the winner's payload row per
+    pixel, contracted on the MXU while the tile's records sit in VMEM
+    (replaces the resolve pass's per-pixel record gather)."""
     nt = starts.shape[0]
     e_pad, rf = records_sorted.shape
     assert rf == RECORD_F and nt % tiles_per_step == 0 and e_pad % CHUNK == 0
@@ -273,10 +328,20 @@ def fine_raster_pairs(
     rec_chunks = jnp.transpose(
         krec.reshape(e_pad // CHUNK, CHUNK, KREC_F), (0, 2, 1)
     )
+    pay_f = 0
+    operands = [starts, counts, rec_chunks]
+    if payload is not None:
+        pay_f = payload.shape[1]
+        assert payload.shape[0] == e_pad and pay_f % 8 == 0
+        operands.append(
+            jnp.transpose(
+                payload.reshape(e_pad // CHUNK, CHUNK, pay_f), (0, 2, 1)
+            )
+        )
     grid = (nt // tiles_per_step,)
     kernel = functools.partial(
         _kernel_pairs, tiles_per_step=tiles_per_step, tiles_x=tiles_x,
-        track2=track2,
+        track2=track2, pay_f=pay_f,
     )
     n_out = 4 if track2 else 2
     out_spec = pl.BlockSpec(
@@ -284,24 +349,41 @@ def fine_raster_pairs(
         lambda s, a, b: (s, 0),
         memory_space=pltpu.VMEM,
     )
+    out_specs = [out_spec] * n_out
+    out_shapes = [jax.ShapeDtypeStruct((nt, TILE_PX), jnp.float32)] * n_out
+    scratch = [
+        pltpu.VMEM((tiles_per_step, 2, KREC_F, CHUNK), jnp.float32),
+    ]
+    if pay_f:
+        out_specs.append(
+            pl.BlockSpec(
+                (tiles_per_step, pay_f, TILE_PX),
+                lambda s, a, b: (s, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nt, pay_f, TILE_PX), jnp.float32)
+        )
+        scratch.append(
+            pltpu.VMEM((tiles_per_step, 2, pay_f, CHUNK), jnp.float32)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((tiles_per_step, 2)))
+    if pay_f:
+        scratch.append(pltpu.SemaphoreType.DMA((tiles_per_step, 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[out_spec] * n_out,
-        scratch_shapes=[
-            pltpu.VMEM((tiles_per_step, 2, KREC_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((tiles_per_step, 2)),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) - 2),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nt, TILE_PX), jnp.float32)
-        ] * n_out,
+        out_shape=out_shapes,
         interpret=interpret,
-    )(starts, counts, rec_chunks)
+    )(*operands)
     return tuple(outs)
 
 

@@ -161,6 +161,13 @@ class RasterConfig:
     # contractions onto the MXU at quad rate and measured ~8x slower
     # than the per-pixel gather it replaces — tools/r5_taa_fetch_ab.py).
     taa_quad_where: bool = False
+    # Winner-payload contraction in the fine-raster kernel: one MXU dot
+    # per chunk selects the winning record's 24-col payload per pixel
+    # while the tile's records sit in VMEM, replacing the resolve pass's
+    # H*W-row record gather with a pair_capacity-row stream gather.
+    # BIT-IDENTICAL (tests/test_kernel_payload.py). Requires slim_rec +
+    # the pallas pair backend.
+    kernel_payload: bool = False
     # Packet traversal for raytraced shadows (rt.traverse.
     # occluded_packets): this many screen-adjacent rays share one
     # traversal stack — node/tri rows fetched once per packet instead of
@@ -1048,10 +1055,14 @@ def rasterize(
     setup = triangle_setup(meshes, instances, draws, camera, config,
                            materials=materials, inst_rec=inst_rec)
     tri_id2 = None
+    payload_img = None
     H, W = config.height, config.width
     if config.backend == "pallas":
         # pair-centric path: no per-tile capacity
         rec_sorted, starts, counts, overflow = bin_triangles_pairs(setup, config)
+        payload = None
+        if getattr(config, "kernel_payload", False):
+            payload = _pair_payload_stream(rec_sorted, setup["resolve_rec"])
         outs = fr.fine_raster_pairs(
             rec_sorted,
             starts,
@@ -1060,6 +1071,7 @@ def rasterize(
             tiles_per_step=config.tiles_per_step,
             interpret=config.interpret,
             track2=track2,
+            payload=payload,
         )
         depth, trif = outs[0], outs[1]
         depth, tri_id = _untile(
@@ -1070,6 +1082,10 @@ def rasterize(
                 outs[2].reshape(outs[2].shape[0], -1),
                 outs[3].reshape(outs[3].shape[0], -1),
                 config,
+            )
+        if payload is not None:
+            payload_img = _untile_payload(
+                outs[-1], tri_id[:H, :W], setup["resolve_rec"], config
             )
     else:
         records, counts, overflow = bin_triangles(setup, config)
@@ -1088,4 +1104,51 @@ def rasterize(
         overflow=overflow + setup["setup_overflow"],
         tri_id2=None if tri_id2 is None else tri_id2[:H, :W],
         depth2=None if tri_id2 is None else depth2[:H, :W],
+        payload_img=payload_img,
     )
+
+
+def _pair_payload_stream(rec_sorted, resolve_rec):
+    """(E_pad, 40) f32 per-pair payload rows for the kernel's winner
+    contraction (RasterConfig.kernel_payload): resolve_rec gathered in
+    pair order (one 96 B row per pair, ~pair_capacity rows — vs H*W rows
+    for the per-pixel resolve gather this replaces). Columns 15:24 are
+    bitcast u32/f16 data whose bit patterns can be NaN/Inf/subnormal —
+    poison through an MXU dot — so they ride as 16-bit integer halves
+    (exact in f32); 0:15 are finite clip/uv floats and ride directly."""
+    ids = rec_sorted[:, fr.F_ID].astype(jnp.int32)
+    idx = jnp.clip(ids, 0, resolve_rec.shape[0] - 1)
+    rows = resolve_rec[idx]  # (E_pad, 24)
+    if rows.shape[1] != 24:
+        raise ValueError(
+            "kernel_payload requires the 24-column slim resolve record "
+            "(RasterConfig.slim_rec)"
+        )
+    u = jax.lax.bitcast_convert_type(rows[:, 15:24], jnp.uint32)
+    lo = (u & 0xFFFF).astype(jnp.float32)
+    hi = (u >> 16).astype(jnp.float32)
+    pad = jnp.zeros((rows.shape[0], 7), jnp.float32)
+    return jnp.concatenate([rows[:, :15], lo, hi, pad], axis=-1)  # 40 cols
+
+
+def _untile_payload(pay, tri_id, resolve_rec, config: RasterConfig):
+    """(NT, 40, TILE_PX) kernel payload -> (H, W, 24) dense record table,
+    bit-identical to resolve_rec[max(tri_id, 0)]: reassemble the 16-bit
+    halves into the original bitcast columns, untile, and give misses the
+    row-0 record exactly like the gather's clamped index."""
+    NT = config.n_tiles
+    TY, TX = config.tiles_y, config.tiles_x
+    th, tw = config.tile_h, config.tile_w
+    H, W = config.height, config.width
+    nat = pay[:NT, :15]  # (NT, 15, 128)
+    lo = pay[:NT, 15:24].astype(jnp.uint32)
+    hi = pay[:NT, 24:33].astype(jnp.uint32)
+    bc = jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.float32)
+    rec = jnp.concatenate([nat, bc], axis=1)  # (NT, 24, 128)
+    img = (
+        rec.transpose(0, 2, 1)
+        .reshape(TY, TX, th, tw, 24)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(TY * th, TX * tw, 24)[:H, :W]
+    )
+    return jnp.where(tri_id[..., None] >= 0, img, resolve_rec[0])

@@ -127,6 +127,15 @@ def _fetch_rows(scene: SceneData, vis: VisBuffer, tri_id,
       pk   (*S, 12)    u32  packed corner-attribute row
       irec (*S, 24) f32 | (*S, 12) u32  fused instance+material record
     Raw (undecoded) forms so the quad path can scatter narrow rows."""
+    if (
+        slim
+        and getattr(vis, "payload_img", None) is not None
+        and tri_id.shape == vis.payload_img.shape[:-1]
+    ):
+        # RasterConfig.kernel_payload: the raster kernel already
+        # contracted the winner's record per pixel (bit-identical to the
+        # gather below) — zero per-pixel rows here.
+        return dict(rec=vis.payload_img)
     tid = jnp.maximum(tri_id, 0)
     rec = vis.resolve_rec[
         checks.check_index(tid, vis.resolve_rec.shape[0], "resolve.rec")
