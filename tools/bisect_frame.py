@@ -107,9 +107,10 @@ def main():
     fns = {s: upto(s) for s in stages}
     cums = {s: [] for s in stages}
     print(f"backend={backend} repeats={reps}")
+    scene_dev = jax.device_put(scene)
     for r in range(reps):
         for s in stages:
-            cums[s].append(slope_time(fns[s], state_dev))
+            cums[s].append(slope_time(fns[s], scene_dev, state_dev))
     import numpy as _np
 
     marginals = {}

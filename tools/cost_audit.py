@@ -74,7 +74,7 @@ def main():
 
     def upto(stage):
         f = upto_f(stage)
-        return lambda: f(state, jnp.float32(0.0))
+        return lambda: f(scene, state, jnp.float32(0.0))
 
     keys = ("flops", "bytes accessed")
     cum = {}

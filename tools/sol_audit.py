@@ -226,7 +226,7 @@ def main():
           f"{'row ms':>7s} {'hbm ms':>7s} {'floor':>7s}")
     for s in stages:
         f = upto_f(s)
-        compiled = jax.jit(f).lower(state, 0.0).compile()
+        compiled = jax.jit(f).lower(scene, state, 0.0).compile()
         text = compiled.as_text()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):

@@ -13,17 +13,21 @@ STAGES = ["cull", "setup", "bin", "raster", "resolve", "shade", "taa", "full"]
 
 
 def make_upto(scene, uniform, cfg, state, ab_ascale=1):
-    """Returns upto(stage) -> f(state, eps): the frame prefix ending at
-    `stage`, reduced to a scalar (eps perturbs znear so slope timing can
-    defeat caching; pass 0.0 for a single evaluation).
+    """Returns upto(stage) -> f(scene, state, eps): the frame prefix
+    ending at `stage`, reduced to a scalar (eps perturbs znear so slope
+    timing can defeat caching; pass 0.0 for a single evaluation).
 
-    `state` MUST be passed as the runtime argument (the `state` parameter
-    here only survives for signature compatibility): a closure-captured
-    FrameState becomes a jit compile-time CONSTANT, history_valid=False
-    folds, and XLA dead-code-eliminates the entire TAA resolve — which is
-    exactly how every round-4 stage/sweep artifact missed the ~35 ms the
-    TAA pass really costs (tools/r5_tail_probe3.py). Pass a SECOND-frame
-    state (history_valid=True) for honest numbers."""
+    `scene` and `state` MUST be passed as runtime arguments (the
+    parameters here only survive for signature compatibility):
+    - a closure-captured FrameState becomes a jit compile-time CONSTANT,
+      history_valid=False folds, and XLA dead-code-eliminates the entire
+      TAA resolve — exactly how every round-4 stage/sweep artifact missed
+      the ~35 ms the TAA pass really costs (tools/r5_tail_probe3.py).
+      Pass a SECOND-frame state (history_valid=True) for honest numbers.
+    - a closure-captured scene bakes the texture pools into the program
+      as literals; config-3-sized pools exceed the axon tunnel's
+      remote-compile request limit (HTTP 413). Timing-neutral either way
+      (r5_tail_probe3 K2 vs K3)."""
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +41,7 @@ def make_upto(scene, uniform, cfg, state, ab_ascale=1):
     from voidin_tpu.scene.texture import linear_to_srgb
 
     def upto(stage):
-        def f(state, eps):
+        def f(scene, state, eps):
             camera = uniform.replace(znear=uniform.znear + eps)
             draws = cull_pass.emit_draws(
                 scene.meshes, scene.instances, camera
