@@ -21,7 +21,10 @@ from ..scene.scene import SceneData
 # v3: TexturePoolData gained child_blocks/parent_blocks (quad-rate tap).
 #     SceneData's per-slot sRGB statics are NOT snapshotted: a loaded
 #     scene falls back to the per-pixel flag gather — identical samples.
-SNAPSHOT_VERSION = 3
+# v4: TlasData gained tlas_exit (stackless traversal exit links); loader
+#     now skips non-pytree statics instead of consuming leaves for them,
+#     and MeshPoolData.bvh_max_leaf rides aux_mesh_leaf.
+SNAPSHOT_VERSION = 4
 
 
 def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
@@ -45,6 +48,9 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
          scene.no_normal_maps], bool
     )
     payload["aux_mesh_flags"] = np.asarray([scene.meshes.has_lods], bool)
+    payload["aux_mesh_leaf"] = np.asarray(
+        [scene.meshes.bvh_max_leaf], np.int64
+    )
     # None-valued pytree fields flatten to zero leaves — record which
     # optional texture tables are present so load realigns the stream
     payload["aux_tex_blocks"] = np.asarray(
@@ -105,12 +111,21 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
         for f in dataclasses.fields(cls):
             if static and f.name in static:
                 kwargs[f.name] = static[f.name]
+            elif not f.metadata.get("pytree_node", True):
+                # non-pytree statics never appear in the leaf stream;
+                # without a value from aux they keep their class default
+                # (round-5 fix: MeshPoolData.bvh_max_leaf silently shifted
+                # the stream and load died with StopIteration at the TLAS)
+                continue
             else:
                 kwargs[f.name] = next(it)
         return cls(**kwargs)
 
     mesh_flags = [bool(x) for x in data["aux_mesh_flags"]]
-    meshes = take(MeshPoolData, static=dict(has_lods=mesh_flags[0]))
+    mesh_static = dict(has_lods=mesh_flags[0])
+    if "aux_mesh_leaf" in data:
+        mesh_static["bvh_max_leaf"] = int(data["aux_mesh_leaf"][0])
+    meshes = take(MeshPoolData, static=mesh_static)
     instances = take(InstanceData)
     materials = take(MaterialData)
     lights = take(LightData)
