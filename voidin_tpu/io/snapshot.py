@@ -56,6 +56,8 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
     payload["aux_tex_blocks"] = np.asarray(
         [scene.textures.child_blocks is not None], bool
     )
+    if tex.host_sizes is not None:
+        payload["aux_tex_host_sizes"] = np.asarray(tex.host_sizes, np.int64)
     # Bump when pytree fields change: old files CANNOT load anyway (the
     # leaf_i stream misaligns against the new dataclass fields), so load
     # fails loudly on a version mismatch instead of corrupting silently.
@@ -134,6 +136,10 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
         base_size=int(data["aux_base_size"][0]),
         total=int(data["aux_base_size"][1]),
     )
+    if "aux_tex_host_sizes" in data:
+        tex_static["host_sizes"] = tuple(
+            (int(w), int(h)) for w, h in data["aux_tex_host_sizes"]
+        )
     has_blocks = (bool(data["aux_tex_blocks"][0])
                   if "aux_tex_blocks" in data else True)
     if not has_blocks:

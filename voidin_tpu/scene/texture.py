@@ -156,6 +156,12 @@ class TexturePoolData:
     level_offset: tuple = struct.field(pytree_node=False, default=None)
     base_size: int = struct.field(pytree_node=False, default=0)
     total: int = struct.field(pytree_node=False, default=0)
+    # ((w, h), ...) host copy of `size` — per-texture metadata then rides
+    # the compiled program as a where-CHAIN over the static ids instead of
+    # a per-pixel table gather (gathers are row-rate bound: a 2M-pixel
+    # metadata lookup costs ~10 ms however tiny the table; a <=64-term
+    # VPU select chain is free). None after snapshot load of older files.
+    host_sizes: tuple = struct.field(pytree_node=False, default=None)
 
     @property
     def count(self) -> int:
@@ -332,12 +338,39 @@ class TexturePool:
             level_offset=tuple(int(o) for o in offsets),
             base_size=S,
             total=total,
+            host_sizes=tuple((int(w), int(h)) for w, h in wh),
         )
 
 
 # ---------------------------------------------------------------------------
 # Device-side sampling (inside jit)
 # ---------------------------------------------------------------------------
+
+
+# Where-chains longer than this fall back to the table gather: the VPU
+# select chain is free per term, but compile time and code size grow
+# linearly (config 6 has 108 textures; its taps keep the gather).
+_CHAIN_MAX = 64
+
+
+def _wh_chain(pool: TexturePoolData, tex_id):
+    """Per-sample (w, h) as a compile-time where-chain over the pool's
+    static host_sizes — replaces the pool.size per-pixel gather (~10 ms
+    per 1080p tap however small the table; the chain is free VPU work).
+    Returns None when the pool is too big for a chain or host metadata is
+    unavailable (snapshot-loaded older files)."""
+    if pool.host_sizes is None or len(pool.host_sizes) > _CHAIN_MAX:
+        return None
+    sizes = pool.host_sizes
+    w = jnp.full(tex_id.shape, sizes[0][0], jnp.int32)
+    h = jnp.full(tex_id.shape, sizes[0][1], jnp.int32)
+    for k in range(1, len(sizes)):
+        if sizes[k] == sizes[0]:
+            continue
+        sel = tex_id == k
+        w = jnp.where(sel, sizes[k][0], w)
+        h = jnp.where(sel, sizes[k][1], h)
+    return w, h
 
 
 def _level_offset_closed(base_size: int, level):
@@ -432,8 +465,11 @@ def sample_trilinear(pool: TexturePoolData, tex_id, uv, lod=None,
               block the static).
     """
     if wh is None:
-        # one extent gather; max_lod and level offsets then derive
+        # static where-chain when the pool is small enough, else one
+        # extent gather; max_lod and level offsets then derive
         # arithmetically (saves two more table gathers per sample)
+        wh = _wh_chain(pool, tex_id)
+    if wh is None:
         whg = pool.size[tex_id]
         wh = (whg[..., 0], whg[..., 1])
     if lod is None:
