@@ -24,7 +24,9 @@ from ..scene.scene import SceneData
 # v4: TlasData gained tlas_exit (stackless traversal exit links); loader
 #     now skips non-pytree statics instead of consuming leaves for them,
 #     and MeshPoolData.bvh_max_leaf rides aux_mesh_leaf.
-SNAPSHOT_VERSION = 4
+# v5: TexturePoolData gained the 16 B split twins quads_child/quads_parent
+#     (present only for pools above the gather cliff; aux_tex_split).
+SNAPSHOT_VERSION = 5
 
 
 def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
@@ -58,6 +60,9 @@ def save_scene(path: str, scene: SceneData, camera: Optional[Camera] = None):
     )
     if tex.host_sizes is not None:
         payload["aux_tex_host_sizes"] = np.asarray(tex.host_sizes, np.int64)
+    payload["aux_tex_split"] = np.asarray(
+        [scene.textures.quads_child is not None], bool
+    )
     # Bump when pytree fields change: old files CANNOT load anyway (the
     # leaf_i stream misaligns against the new dataclass fields), so load
     # fails loudly on a version mismatch instead of corrupting silently.
@@ -144,6 +149,10 @@ def load_scene(path: str) -> Tuple[SceneData, Optional[Camera]]:
                   if "aux_tex_blocks" in data else True)
     if not has_blocks:
         tex_static.update(child_blocks=None, parent_blocks=None)
+    has_split = (bool(data["aux_tex_split"][0])
+                 if "aux_tex_split" in data else False)
+    if not has_split:
+        tex_static.update(quads_child=None, quads_parent=None)
     textures = take(TexturePoolData, static=tex_static)
     ltc1 = next(it)
     ltc2 = next(it)

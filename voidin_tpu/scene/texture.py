@@ -42,6 +42,13 @@ MAX_TEXTURES = 1024
 
 _SRGB_BREAK = 0.04045
 
+# Pools whose flattened quad table reaches this many rows also carry the
+# 16 B split twins (see TexturePoolData.quads_child): the TPU gather-rate
+# cliff starts around 0.5-1M rows and 32 B rows run ~18 ns/row at >=4M
+# while 16 B rows stay ~2.4 (tools/r5_cliff16.py). Below the cliff the
+# single 32 B gather wins (row-rate bound: two gathers cost two rows).
+_SPLIT_MIN_ROWS = 2_000_000
+
 
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
     c = np.asarray(c, np.float32)
@@ -83,14 +90,17 @@ def pool_device_bytes(n_textures: int, pool_size: int,
     """HBM bytes of the TexturePoolData quad tables for `n_textures`
     slots at pool size S=`pool_size`: one 32 B quad row per texel over
     the flattened mip chain (sum of s^2 over mips ~= (4/3) S^2 rows),
-    tripled when the 4x4 tap-block tables are built. The Sponza-scale
-    budget check (tests/test_stress.py) holds this against device HBM —
-    at S=1024 a slot costs ~44.7 MB, so a ~100-texture scene fits a v5e
-    (16 GB) only with blocks=False (bench.run_preset builds blocks solely
-    when the tuned variant taps them)."""
+    doubled when the pool crosses _SPLIT_MIN_ROWS (the 16 B split twins
+    duplicate the bytes), tripled on top when the 4x4 tap-block tables
+    are built. The Sponza-scale budget check (tests/test_stress.py) holds
+    this against device HBM — at S=1024 a slot costs ~44.7 MB, so a
+    ~100-texture scene fits a v5e (16 GB) only with blocks=False
+    (bench.run_preset builds blocks solely when the tuned variant taps
+    them)."""
     total_rows = sum(s * s for s in _mip_sizes(pool_size))
     per_slot = total_rows * 32  # quads (T, total, 32) u8
-    return n_textures * per_slot * (3 if blocks else 1)
+    split = 2 if n_textures * total_rows >= _SPLIT_MIN_ROWS else 1
+    return n_textures * per_slot * ((3 if blocks else 1) + split - 1)
 
 
 def _downsample2x2(img: np.ndarray) -> np.ndarray:
@@ -153,6 +163,13 @@ class TexturePoolData:
     # from `quads` (corner columns) at device() time.
     child_blocks: jnp.ndarray = None
     parent_blocks: jnp.ndarray = None
+    # 16 B-row twins of `quads` (child half / parent half, same row
+    # index), built when the pool crosses _SPLIT_MIN_ROWS: big-table
+    # gathers on TPU run ~18 ns/row at 32 B rows but ~2.4 ns/row at 16 B
+    # (tools/r5_gather_cliff.py + r5_cliff16.py) — two 16 B gathers beat
+    # one 32 B gather ~4x above the cliff. Identical bytes -> bit-exact.
+    quads_child: jnp.ndarray = None
+    quads_parent: jnp.ndarray = None
     level_offset: tuple = struct.field(pytree_node=False, default=None)
     base_size: int = struct.field(pytree_node=False, default=0)
     total: int = struct.field(pytree_node=False, default=0)
@@ -326,8 +343,10 @@ class TexturePool:
                 pb = parent_blocks[t, offsets[li] : offsets[li] + s * s]
                 cb.reshape(s, s, 64)[:lh, :lw] = blk(child)
                 pb.reshape(s, s, 64)[:lh, :lw] = blk(parent)
+        flat = quads.reshape(T * total, 32)
+        split = T * total >= _SPLIT_MIN_ROWS
         return TexturePoolData(
-            quads=jnp.asarray(quads.reshape(T * total, 32)),
+            quads=jnp.asarray(flat),
             size=jnp.asarray(wh),
             max_lod=jnp.asarray(max_lod),
             srgb=jnp.asarray(np.asarray(self.srgb_flags, bool)),
@@ -335,6 +354,10 @@ class TexturePool:
                 child_blocks.reshape(T * total, 64)),
             parent_blocks=None if parent_blocks is None else jnp.asarray(
                 parent_blocks.reshape(T * total, 64)),
+            quads_child=jnp.asarray(
+                np.ascontiguousarray(flat[:, :16])) if split else None,
+            quads_parent=jnp.asarray(
+                np.ascontiguousarray(flat[:, 16:])) if split else None,
             level_offset=tuple(int(o) for o in offsets),
             base_size=S,
             total=total,
@@ -429,9 +452,8 @@ def _bilinear_level(pool: TexturePoolData, tex_id, uv, level, lod_frac=None,
 
     idx = tex_id * pool.total + off + y0i * stride + x0i
     idx = checks.check_index(idx, pool.quads.shape[0], "texture.quads")
-    q = pool.quads[idx].astype(jnp.float32) * (1.0 / 255.0)  # (..., 32)
 
-    def bilin(base):
+    def bilin(q, base):
         c00 = q[..., base : base + 4]
         c10 = q[..., base + 4 : base + 8]
         c01 = q[..., base + 8 : base + 12]
@@ -440,10 +462,26 @@ def _bilinear_level(pool: TexturePoolData, tex_id, uv, level, lod_frac=None,
         bot = c01 + (c11 - c01) * tx
         return top + (bot - top) * ty
 
-    child = bilin(0)
+    scale = jnp.float32(1.0 / 255.0)
+    if pool.quads_child is not None:
+        # 16 B split twins: above the gather cliff two 16 B row fetches
+        # run ~4x faster than one 32 B fetch — identical bytes, same
+        # lerp order; samples are bit-exact, whole frames drift last-ulp
+        # from XLA refusing/contracting the surrounding arithmetic
+        # differently per layout (tests/test_texture_split.py budgets
+        # both; goldens are u8-quantized and unaffected).
+        child = bilin(pool.quads_child[idx].astype(jnp.float32) * scale, 0)
+        if lod_frac is None:
+            return child
+        parent = bilin(
+            pool.quads_parent[idx].astype(jnp.float32) * scale, 0
+        )
+        return child + (parent - child) * lod_frac[..., None]
+    q = pool.quads[idx].astype(jnp.float32) * scale  # (..., 32)
+    child = bilin(q, 0)
     if lod_frac is None:
         return child
-    parent = bilin(16)
+    parent = bilin(q, 16)
     return child + (parent - child) * lod_frac[..., None]
 
 
