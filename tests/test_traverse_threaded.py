@@ -127,3 +127,31 @@ def test_threaded_single_instance_and_empty():
         max_leaf=scene.meshes.bvh_max_leaf,
     )
     assert not bool(np.asarray(inactive.hit).any())
+
+
+def test_threaded_unroll_bit_identical():
+    """unroll=M composes M masked steps per while iteration; results must
+    be bit-identical to unroll=1 — including under a max_steps cut that
+    lands mid-composition (the steps < max_steps guard)."""
+    from voidin_tpu.rt import traverse as trav
+
+    scene, origins, dirs, active = _scene_and_rays()
+    table, n_tlas, inst2, tri2 = trav.scene_rays_threaded(scene)
+
+    def run(unroll, max_steps):
+        return trav.occluded_threaded(
+            table, n_tlas, inst2, tri2, jnp.asarray(origins),
+            jnp.asarray(dirs), t_max=1.0, active=jnp.asarray(active),
+            max_steps=max_steps, max_leaf=scene.meshes.bvh_max_leaf,
+            unroll=unroll, chunk_packets=4,
+        )
+
+    for max_steps in (8192, 37):  # 37: cut lands mid-unroll for M=4
+        base = run(1, max_steps)
+        for m in (2, 4):
+            u = run(m, max_steps)
+            np.testing.assert_array_equal(
+                np.asarray(base.hit), np.asarray(u.hit),
+                err_msg=f"unroll={m} max_steps={max_steps}",
+            )
+            assert int(u.exhausted) == int(base.exhausted), (m, max_steps)

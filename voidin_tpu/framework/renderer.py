@@ -196,6 +196,7 @@ def render_frame(
                 shadow_scale=rt_shadow_scale,
                 rt_packet=getattr(config, "rt_packet", 0),
                 rt_threaded=getattr(config, "rt_threaded", False),
+                rt_unroll=getattr(config, "rt_unroll", 1),
             )
         else:
             hdr = shading_pass.shade(

@@ -180,6 +180,12 @@ class RasterConfig:
     # union of lane paths stays tight. BIT-EXACT
     # (tests/test_traverse_threaded.py). Requires rt_packet == 128.
     rt_threaded: bool = False
+    # Threaded-walk steps composed per while iteration: the walk is
+    # iteration-bound (one node per packet per device loop step, each
+    # step a fixed dispatch overhead) — unrolling trades M-x fewer
+    # iterations for M-x per-step gathers/flops (tiny). BIT-EXACT incl.
+    # the max_steps cut (tests/test_traverse_threaded.py).
+    rt_unroll: int = 1
     # Quad-rate albedo tap (texture.sample_trilinear_quadblock): two 4x4
     # block rows per uniform 2x2 pixel quad instead of four 32 B quad
     # rows. Bit-exact (tests/test_texture_meta.py); edge quads (texture/

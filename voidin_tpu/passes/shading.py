@@ -516,7 +516,7 @@ def shade(scene: SceneData, gbuffer: GBuffer, camera, albedo=None,
 
 def _trace_occlusion_blocks(
     trav, tables, pos_g, nor_g, lpos, act_g, max_steps, ray_chunk,
-    max_leaf, bh=8, bw=16,
+    max_leaf, bh=8, bw=16, unroll=1,
 ):
     """Threaded traversal over 8x16 SCREEN-BLOCK packets. Row-strip packets
     (reshape(-1) order) span 128x1 pixels; a 8x16 block's rays share far
@@ -545,7 +545,7 @@ def _trace_occlusion_blocks(
         t_max=1.0, max_steps=max_steps,
         active=blocks(act_g).reshape(-1),
         packet=P, chunk_packets=max(ray_chunk // P, 1),
-        max_leaf=max_leaf,
+        max_leaf=max_leaf, unroll=unroll,
     )
     hit = res.hit.reshape(hb, wb, bh, bw)
     hit = jnp.swapaxes(hit, 1, 2).reshape(hb * bh, wb * bw)
@@ -555,7 +555,7 @@ def _trace_occlusion_blocks(
 def shade_raytraced(
     scene: SceneData, gbuffer: GBuffer, camera, albedo=None, max_steps=512,
     ray_chunk=1 << 16, aux=None, shadow_scale=1, rt_packet=0,
-    rt_threaded=False,
+    rt_threaded=False, rt_unroll=1,
 ) -> jnp.ndarray:
     """Deferred shading with TLAS-traced point-light shadows.
 
@@ -630,6 +630,7 @@ def shade_raytraced(
                 occ_small = _trace_occlusion_blocks(
                     trav, tables_th, pos_s, nor_s, lpos,
                     needs_ray[::s, ::s], max_steps * 8, ray_chunk, max_leaf,
+                    unroll=rt_unroll,
                 )
             elif rt_packet:
                 occ_small = trav.occluded_packets(
@@ -658,7 +659,7 @@ def shade_raytraced(
         elif rt_threaded:
             occ_hit = _trace_occlusion_blocks(
                 trav, tables_th, pos, nor, lpos, needs_ray,
-                max_steps * 8, ray_chunk, max_leaf,
+                max_steps * 8, ray_chunk, max_leaf, unroll=rt_unroll,
             )
         else:
             origins = (pos + nor * 1e-4).reshape(-1, 3)

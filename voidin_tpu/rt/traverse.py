@@ -626,6 +626,7 @@ def occluded_threaded(
     packet=128,
     chunk_packets=None,
     max_leaf=MAX_LEAF,
+    unroll=1,
 ):
     """Stackless packet any-hit occlusion. Same contract and BIT-IDENTICAL
     results as occluded_packets (same per-lane slab/leaf gating — see
@@ -666,7 +667,7 @@ def occluded_threaded(
             oo, dd, tt, aa = args
             return _occluded_threaded_core(
                 table, n_tlas, instance_rows, tri_pos,
-                oo, dd, tt, aa, max_steps, max_leaf,
+                oo, dd, tt, aa, max_steps, max_leaf, unroll,
             )
 
         res = jax.lax.map(
@@ -685,7 +686,7 @@ def occluded_threaded(
         )
     res = _occluded_threaded_core(
         table, n_tlas, instance_rows, tri_pos, o, d, tm, act, max_steps,
-        max_leaf,
+        max_leaf, unroll,
     )
     return OcclusionResult(
         hit=res.hit.reshape(-1)[:R],
@@ -696,7 +697,7 @@ def occluded_threaded(
 
 def _occluded_threaded_core(
     table, n_tlas, instance_rows, tri_pos, o, d, tm, act, max_steps,
-    max_leaf,
+    max_leaf, unroll=1,
 ):
     """(K, P, 3) packet rays -> OcclusionResult with (K, P) hit.
 
@@ -822,6 +823,25 @@ def _occluded_threaded_core(
             bvh_base=bvh_base,
             steps=s["steps"] + 1,
         )
+
+    if unroll > 1:
+        # Compose the step `unroll` times per while iteration: each
+        # device-side loop step carries a fixed dispatch overhead, and
+        # one node per packet per step makes the walk iteration-bound.
+        # body() is masked per packet (pa / cur==0 no-ops) so
+        # body^M == M sequential steps; the steps < max_steps guard
+        # keeps even exhaustion cases BIT-EXACT vs unroll=1
+        # (tests/test_traverse_threaded.py).
+        inner = body
+
+        def body(s):  # noqa: F811
+            for _ in range(unroll):
+                s2 = inner(s)
+                ok = s["steps"] < max_steps
+                s = {
+                    k: jnp.where(ok, s2[k], s[k]) for k in s2
+                }
+            return s
 
     out = jax.lax.while_loop(cond, body, state)
     exhausted = jnp.sum(
