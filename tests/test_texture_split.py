@@ -112,12 +112,13 @@ def test_split_snapshot_roundtrip(tmp_path, monkeypatch):
     assert scene2.textures.quads_child is not None
 
 
-def test_pool_device_bytes_split_accounting():
+def test_pool_device_bytes_split_accounting(monkeypatch):
     from voidin_tpu.scene.texture import pool_device_bytes
 
-    small = pool_device_bytes(4, 64)
-    # 4 slots at S=64: 4 * 5461 rows — under the cliff, no twins
-    assert small == 4 * 5461 * 32
-    big = pool_device_bytes(8, 1024)
-    # 8 slots at S=1024 cross the cliff: quads + 16 B twins = 2x bytes
-    assert big == 8 * 1398101 * 32 * 2
+    # default: twins disabled (the paired fetch measured SLOWER than one
+    # 32 B gather on hardware — see _SPLIT_MIN_ROWS), no byte doubling
+    assert pool_device_bytes(8, 1024) == 8 * 1398101 * 32
+    # with the threshold active the twins double the bytes
+    monkeypatch.setattr(tex_mod, "_SPLIT_MIN_ROWS", 2_000_000)
+    assert pool_device_bytes(8, 1024) == 8 * 1398101 * 32 * 2
+    assert pool_device_bytes(4, 64) == 4 * 5461 * 32

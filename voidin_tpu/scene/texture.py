@@ -43,11 +43,16 @@ MAX_TEXTURES = 1024
 _SRGB_BREAK = 0.04045
 
 # Pools whose flattened quad table reaches this many rows also carry the
-# 16 B split twins (see TexturePoolData.quads_child): the TPU gather-rate
-# cliff starts around 0.5-1M rows and 32 B rows run ~18 ns/row at >=4M
-# while 16 B rows stay ~2.4 (tools/r5_cliff16.py). Below the cliff the
-# single 32 B gather wins (row-rate bound: two gathers cost two rows).
-_SPLIT_MIN_ROWS = 2_000_000
+# 16 B split twins (see TexturePoolData.quads_child). DISABLED by
+# default: a single 8.39M x 16 B probe measured 2.39 ns/row (vs ~18 for
+# 32 B) suggesting a fast path, but the confirmation run
+# (tools/r5_cliff16.py, repeats) found the PAIRED child+parent fetch —
+# the actual trilinear use case — costs 20-26 ns per row-pair at
+# 5.6-11.2M rows, i.e. WORSE than one 32 B gather (18.7); the 2.39 was a
+# one-off tier. Machinery + tests kept (thresh monkeypatched there);
+# single-table 16 B fetches do run ~12 ns at 11M, so a bilinear-only
+# big-pool path could still use the child twin if one ever dominates.
+_SPLIT_MIN_ROWS = 1 << 62
 
 
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
