@@ -259,15 +259,18 @@ def tuned_options(path=None, with_meta=False):
     try:
         with open(path) as f:
             d = json.load(f)
-        # the capture must describe the SAME variant definitions this
-        # build would apply (json roundtrip: tuples become lists)
-        stamp_ok = d.get("variants") == json.loads(
-            json.dumps(ab_variants_stamp())
-        )
-        if d.get("backend") == "tpu" and stamp_ok:
+        # A stored measurement steers the official run only if it measured
+        # the SAME variant definition this build would apply — checked PER
+        # VARIANT (json roundtrip: tuples become lists), so adding a new
+        # variant to AB_VARIANTS doesn't throw away the existing sweep;
+        # editing an existing variant invalidates just that entry.
+        cur = json.loads(json.dumps(ab_variants_stamp()))
+        stored = d.get("variants") or {}
+        if d.get("backend") == "tpu":
             ms = {
                 k: v for k, v in d.get("ms_per_variant", {}).items()
                 if k in AB_VARIANTS and isinstance(v, (int, float))
+                and stored.get(k) == cur.get(k)
             }
             if ms:
                 name, swept = min(ms, key=ms.get), True

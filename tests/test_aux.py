@@ -146,12 +146,23 @@ def test_bench_tuned_options(tmp_path):
         json.dump({"backend": "tpu",
                    "ms_per_variant": {"base": 10, "all": 5.5}}, f)
     assert bench.tuned_options(p)[0] == "all_exact"
+    # a variant whose DEFINITION changed since the capture is invalidated
+    # individually: its (stale) 5.5 ms may not steer, but the still-valid
+    # 'base' entry does — the sweep survives an edit to one variant
     with open(p, "w") as f:
         stale = json.loads(json.dumps(bench.ab_variants_stamp()))
         stale["all"][1] = not stale["all"][1]
         json.dump({"backend": "tpu", "variants": stale,
                    "ms_per_variant": {"base": 10, "all": 5.5}}, f)
-    assert bench.tuned_options(p)[0] == "all_exact"
+    assert bench.tuned_options(p)[0] == "base"
+    # a capture taken before a NEW variant was added stays valid for the
+    # variants it measured (additive edits don't discard the sweep)
+    with open(p, "w") as f:
+        subset = json.loads(json.dumps(bench.ab_variants_stamp()))
+        subset.pop("fused_rec")
+        json.dump({"backend": "tpu", "variants": subset,
+                   "ms_per_variant": {"base": 10, "all": 5.5}}, f)
+    assert bench.tuned_options(p)[0] == "all"
     # tpu capture with the current stamp -> fastest variant wins (even
     # when slower than the default's expectation: measurements rule)
     with open(p, "w") as f:

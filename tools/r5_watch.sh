@@ -25,17 +25,15 @@ print(float(jax.jit(lambda a: (a @ a).sum())(x)))
   sleep 240
 done
 set -x
-# 1. confirm the 16 B fast path (drives keep/revert of the split twins)
-timeout 2400 python -u tools/r5_cliff16.py
-# 2. hardware kernel guard before any capture
+# 1. hardware kernel guard before any capture
 timeout 1800 python -u tools/check_kernel_hw.py || exit 1
-# 3. config-3 honest profile with split twins + wh-chains in place
-timeout 3000 python -u tools/bisect_frame.py --config 3 --out BENCH_DETAIL_C3.json
-# 4. all configs (threaded config 5, fixed config 3)
-python -u tools/bench_all.py --out BENCH_CONFIGS.json
-# 5. animated capture (VERDICT r4 next #9)
+# 2. all configs (threaded config 5, fixed config 3) — the headline refresh
+timeout 7200 python -u tools/bench_all.py --out BENCH_CONFIGS.json
+# 3. animated capture (VERDICT r4 next #9)
 timeout 3000 python -u bench.py --anim 60 --config 4 | tail -1 > BENCH_ANIM.json
-# 6. north-star per-stage refresh
+# 4. config-3 honest profile with split twins + wh-chains in place
+timeout 3000 python -u tools/bisect_frame.py --config 3 --out BENCH_DETAIL_C3.json
+# 5. north-star per-stage refresh
 timeout 3000 python -u tools/bisect_frame.py --out BENCH_DETAIL.json
 git add BENCH_DETAIL_C3.json BENCH_CONFIGS.json BENCH_ANIM.json BENCH_DETAIL.json 2>/dev/null
 git commit -q -m "TPU capture artifacts: config profiles, all configs, animated run" \
