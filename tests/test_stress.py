@@ -104,3 +104,58 @@ def test_config6_procedural_fallback():
         assert len(p.world.textures.images) == 4 + 8
     finally:
         pr.find_asset = orig
+
+
+def test_config7_sponza_geometry_scale():
+    """Config 7 synthesizes Sponza's GEOMETRY character (VERDICT r4
+    missing #3): ~250k unique triangles over ~25 distinct meshes with one
+    instance each — per-mesh BLASes, no instancing leverage, no LOD
+    chains (model.rs:86-106 loads the 262k-tri Sponza glTF once)."""
+    from voidin_tpu.framework.presets import config7_sponza_geometry
+
+    p = config7_sponza_geometry(16 / 9, n_textures=8, base_size=64)
+    w = p.world
+    tris = w.meshes._index_count // 3
+    assert 200_000 < tris < 320_000, tris
+    # ~25 distinct scene meshes (+4 pool builtins), each its own BLAS
+    assert len(w.meshes) >= 24 + 4
+    assert len(w.meshes.bvh_nodes) == len(w.meshes)
+    # single-instance character: one draw per scene mesh
+    assert len(w.instances.transforms) >= 24
+    assert p.moving_ids == []  # static model, like Sponza
+
+
+def test_config7_builds_and_renders_small():
+    """Scaled-down config 7 renders a clean frame end to end with
+    overflow 0: unique-geometry raster + textured resolve + area
+    lights."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from voidin_tpu.framework.presets import config7_sponza_geometry
+    from voidin_tpu.framework.renderer import (
+        FrameState, Globals, render_frame,
+    )
+    from voidin_tpu.passes.raster import RasterConfig
+
+    W, H = 256, 144
+    p = config7_sponza_geometry(W / H, n_textures=8, base_size=64,
+                                detail=0.15)
+    cfg = RasterConfig(
+        width=W, height=H, tri_capacity=1 << 15, pair_capacity=1 << 17,
+        tile_tri_capacity=1024, backend="xla",
+    )
+    scene = p.world.device(tap_blocks=False)
+    g = Globals.make(W, H, frame=0, time=0.0, dt=0.0)
+    state = FrameState.initial(W, H)
+    img, _, _, aux = jax.jit(
+        partial(render_frame, config=cfg, enable_cull=True,
+                enable_taa=False)
+    )(scene, p.camera.uniform(), g, state, jnp.zeros(0, jnp.int32))
+    img = np.asarray(img)
+    assert int(aux["overflow"]) == 0
+    assert int(aux["draw_count"]) >= 24
+    assert np.isfinite(img).all()
+    assert img.std() > 0.02, "geometry-stress frame rendered empty"

@@ -44,7 +44,7 @@ def run_one(arg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_CONFIGS.json"))
-    ap.add_argument("--configs", default="0,1,2,3,4,5,5h,6")
+    ap.add_argument("--configs", default="0,1,2,3,4,5,5h,6,7")
     args = ap.parse_args()
 
     results = []
