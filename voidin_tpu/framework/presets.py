@@ -462,41 +462,57 @@ def config7_sponza_geometry(
         w.instances.add(np.asarray(t, np.float32), mid, mats[k % len(mats)])
         return mid
 
-    # Two colonnades of 6 distinct knot "columns" each: varied (p,q) and
-    # tessellation so every column is a unique vertex pool (~12.3-16.4k
-    # tris per column).
-    knot_params = [
-        (2, 3, 256, 24), (2, 5, 256, 26), (3, 4, 256, 28), (2, 7, 320, 20),
-        (3, 5, 256, 32), (2, 3, 320, 24), (3, 7, 256, 26), (2, 5, 320, 22),
-        (4, 3, 256, 28), (2, 9, 256, 24), (3, 8, 256, 30), (5, 2, 320, 20),
-    ]
-    for i, (p, q, seg, sides) in enumerate(knot_params):
-        row, col = divmod(i, 6)
-        x = -9.0 + 18.0 * row
-        z = -6.0 - 7.0 * col
+    # Like Sponza, detail is authored at ARCHITECTURE density: per-mesh
+    # tessellation scales with distance from the fixed camera (an
+    # artist's static choice, NOT a runtime LOD chain — the preset ships
+    # none, like Sponza), so per-tile triangle density stays bounded
+    # instead of collapsing far dense meshes to sub-pixel soup.
+    cam_pos = np.array([0.0, 5.0, 2.0], np.float32)
+
+    def knot_at(pos, k, pq, scale=1.7, boost=1.0):
+        d = float(np.linalg.norm(np.asarray(pos, np.float32) - cam_pos))
+        seg = max(16, int((64 + 2800.0 / d) * boost * detail))
+        sides = max(6, int((8 + 180.0 / d) * boost * detail))
         t = (
-            mathx.from_translation([x, 2.2, z])
+            mathx.from_translation(pos)
             @ mathx.from_rotation_y(np.float32(rng.uniform(0, 6.28)))
-            @ mathx.from_scale(1.7)
+            @ mathx.from_scale(scale)
         )
         place(
-            mesh_mod.make_torus_knot(
-                p=p, q=q,
-                segments=max(16, int(seg * detail)),
-                sides=max(6, int(sides * detail)),
-            ),
-            t, i,
+            mesh_mod.make_torus_knot(p=pq[0], q=pq[1], segments=seg,
+                                     sides=sides),
+            t, k,
         )
 
-    # Six sphere "vaults" along the roof line (res 12-16 -> ~9-17k tris
-    # each; make_uv_sphere emits (2*4res-1)*8res triangles).
-    for i in range(6):
-        res = max(3, int((12 + 2 * (i % 3)) * detail))
-        t = (
-            mathx.from_translation([0.0, 10.5, -6.0 - 7.0 * i])
-            @ mathx.from_scale(3.2)
+    def sphere_at(pos, k, scale=3.2, boost=1.0):
+        d = float(np.linalg.norm(np.asarray(pos, np.float32) - cam_pos))
+        res = max(3, int((4 + 110.0 / d) * boost * detail))
+        place(
+            mesh_mod.make_uv_sphere(resolution=res),
+            mathx.from_translation(pos) @ mathx.from_scale(scale),
+            k,
         )
-        place(mesh_mod.make_uv_sphere(resolution=res), t, 12 + i)
+
+    # Two colonnades of 6 distinct knot "columns" each, varied (p,q).
+    pqs = [(2, 3), (2, 5), (3, 4), (2, 7), (3, 5), (2, 3),
+           (3, 7), (2, 5), (4, 3), (2, 9), (3, 8), (5, 2)]
+    for i in range(12):
+        row, col = divmod(i, 6)
+        knot_at([-9.0 + 18.0 * row, 2.2, -6.0 - 7.0 * col], i, pqs[i])
+
+    # Six sphere "vaults" along the roof line.
+    for i in range(6):
+        sphere_at([0.0, 10.5, -6.0 - 7.0 * i], 12 + i)
+
+    # Near-field clutter (Sponza's pots / lion heads / drapes class):
+    # four statement knots flanking the camera and eight floor vases —
+    # large on screen, so dense tessellation stays architecture-rate.
+    for i in range(4):
+        knot_at([-6.0 + 4.0 * i, 1.0, -2.5 - 1.5 * (i % 2)], 26 + i,
+                pqs[i], scale=0.9, boost=0.9)
+    for i in range(8):
+        sphere_at([-7.0 + 2.0 * i, 0.6, -7.5 - 2.0 * (i % 3)], 30 + i,
+                  scale=0.6, boost=1.1)
 
     # Atrium shell: floor + two long side walls + far wall (distinct box
     # meshes so each gets its own BLAS like Sponza's architecture nodes).
@@ -546,11 +562,12 @@ def config7_sponza_geometry(
     return Preset(
         world=w,
         camera=cam,
-        # ~260k unique tris, all potentially live (no LOD chains): size
-        # for the full mesh-pool count; overflow asserted 0 by the test
-        # and printed by bench.
+        # ~287k unique tris, all potentially live (no LOD chains): slot
+        # stream sized to the mesh pool, extras stream measured 91k over
+        # 2^19 at the bench pose on the production pair path -> 2^20
+        # (overflow 0, max 1424 records/tile; printed by bench).
         tri_capacity=1 << 19,
-        pair_capacity=1 << 19,
+        pair_capacity=1 << 20,
         tile_tri_capacity=192,
         quad_edge_capacity=1 << 17,
         taa_edge_capacity=1 << 12,
