@@ -260,3 +260,26 @@ def test_oracle_matches_production_taa_two_frames():
     # the temporal pass must MATTER: the TAA-off frame-1 image differs
     prod0 = np.asarray(img0)
     assert np.abs(prod - prod0).mean() > 1e-4
+
+
+def test_oracle_matches_production_config7():
+    """Config 7 (Sponza-geometry-scale class): many DISTINCT single
+    -instance meshes, one textured material per mesh, two LTC area lights
+    + point light — anchors the unique-geometry path (per-mesh vertex
+    pools, 30+ BLAS draw records) to the from-spec oracle."""
+    from voidin_tpu.framework.presets import config7_sponza_geometry
+
+    W, H = 256, 144
+    p = config7_sponza_geometry(W / H, n_textures=8, base_size=64,
+                                detail=0.15)
+    cu = p.camera.uniform()
+    prod = _production(
+        p.world, cu, W, H,
+        dict(tri_capacity=1 << 15, pair_capacity=1 << 17,
+             tile_tri_capacity=1024),
+        enable_cull=True,
+    )
+    oracle = orc.render_oracle(p.world, cu, W, H)
+    # same textured-content divergences as config 3 (LOD estimate +
+    # sRGB filter order)
+    _assert_anchored(prod, oracle, mean_budget=1.5e-2, name="config7")
