@@ -47,14 +47,22 @@ def main():
     ap.add_argument("--configs", default="0,1,2,3,4,5,5h,6,7")
     args = ap.parse_args()
 
+    # merge into an existing capture: a re-run (or a reordered partial
+    # run) replaces same-config entries and keeps the rest
     results = []
+    try:
+        with open(args.out) as f:
+            results = [r for r in json.load(f) if "config" in r]
+    except Exception:
+        pass
     for c in [x if x == "5h" else int(x) for x in args.configs.split(",")]:
         print(f"# running config {c} ...", flush=True)
         r = run_one(c)
         print(json.dumps(r), flush=True)
-        results.append(r)
+        results = [x for x in results if x.get("config") != r["config"]] + [r]
         with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(sorted(results, key=lambda x: str(x.get("config"))),
+                      f, indent=2)
             f.write("\n")
     print("wrote", args.out)
 
